@@ -1,0 +1,863 @@
+"""Schema → Catalyst compiler.
+
+Lowers a JSON Structure schema to Spark ``Column`` predicates: every schema
+keyword becomes a null-safe boolean expression over typed DataFrame columns,
+evaluated in ONE projection (single whole-stage-codegen pass over the scan,
+no Python in the row path).  The per-instance error list of the reference
+validator (reference: python/src/json_structure/instance_validator.py:105-644)
+becomes a ``violations`` array column; exploding it yields violation rows
+``(row key, constraint id, json path, offending value)`` and aggregating it
+yields per-partition verdicts.
+
+Design rules (SURVEY.md §4.2):
+
+* **Null-safety** — in the reference a type mismatch IS an error; in SQL a
+  NULL comparison silently drops the row.  Every compiled predicate is
+  wrapped ``CASE WHEN col IS NULL THEN <absent-ok> ELSE coalesce(pred, false)``
+  so three-valued logic can never swallow a violation.
+* **Absent ≡ NULL** — JSON property absence maps to a NULL column; a NULL
+  value passes all value-level checks and only ``required`` fails it.
+* **Compile-time graph ops** — ``$ref``/``$extends``/``$root``/``$import``
+  are resolved once on the driver (``sdk_spark.schema.normalize``); the
+  executors only ever see literal-bearing Column trees.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from functools import reduce
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import errors as E
+from ..rowcheck import RowChecker
+from ..schema.normalize import (
+    SchemaCompileError,
+    deref,
+    detect_extensions,
+    effective,
+    import_defs,
+)
+
+# ---------------------------------------------------------------------------
+# constants shared with the row kernel
+
+RX = {
+    "date": r"^\d{4}-\d{2}-\d{2}$",
+    "datetime": r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+\-]\d{2}:\d{2})$",
+    "time": r"^\d{2}:\d{2}:\d{2}(\.\d+)?$",
+    "duration": r"^P(\d+Y)?(\d+M)?(\d+D)?(T(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$|^P\d+W$",
+    "jsonpointer": r"^#(/[^/]+)*$",
+    "uuid": r"^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "uri": r"^[a-zA-Z][a-zA-Z0-9+\-.]*:",
+    "int": r"^[+-]?[0-9]+$",
+    "email": r"^[^@]+@[^@]+\.[^@]+$",
+    "ipv4": r"^(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)(\.(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)){3}$",
+    "ipv6": r"^[0-9a-fA-F:]+$",
+    "hostname": r"^[a-zA-Z0-9.-]+$",
+}
+
+SMALL_INT_RANGES = {
+    "int8": (-(2**7), 2**7 - 1),
+    "uint8": (0, 2**8 - 1),
+    "int16": (-(2**15), 2**15 - 1),
+    "uint16": (0, 2**16 - 1),
+    "int32": (-(2**31), 2**31 - 1),
+    "integer": (-(2**31), 2**31 - 1),
+    "uint32": (0, 2**32 - 1),
+}
+BIG_INT_BOUNDS = {
+    "int64": ("-9223372036854775808", "9223372036854775807"),
+    "uint64": ("0", "18446744073709551615"),
+    "int128": ("-170141183460469231731687303715884105728",
+               "170141183460469231731687303715884105727"),
+    "uint128": ("0", "340282366920938463463374607431768211455"),
+}
+NUMERIC_TYPES = {
+    "number", "integer", "float", "double", "decimal", "float8",
+    "int8", "uint8", "int16", "uint16", "int32", "uint32",
+    "int64", "uint64", "int128", "uint128",
+}
+STRING_BACKED = {"int64", "uint64", "int128", "uint128", "decimal"}
+CONDITIONAL_KEYWORDS = ("allOf", "anyOf", "oneOf", "not", "if", "then", "else")
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+@dataclass(frozen=True)
+class Constraint:
+    """One compiled constraint bound to a DataFrame column expression."""
+
+    cid: str          # standardized constraint code (sdk_spark.errors)
+    path: str         # JSON pointer into the row, e.g. "#/caption"
+    ok: Column        # non-null boolean; False => violation
+    value: Column     # offending value rendered as string
+
+
+@dataclass(frozen=True)
+class Ctx:
+    validation: bool
+    conditionals: bool
+
+    def with_node(self, node: dict) -> "Ctx":
+        uses = node.get("$uses")
+        if not isinstance(uses, list):
+            return self
+        return Ctx(
+            validation=self.validation or "JSONStructureValidation" in uses,
+            conditionals=self.conditionals or "JSONStructureConditionalComposition" in uses,
+        )
+
+
+def _present(col: Column, pred: Column) -> Column:
+    """Null-safe wrap: NULL value => constraint passes (absence is handled
+    by ``required``); non-null => pred with NULL coerced to False."""
+    return F.when(col.isNull(), F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+
+
+def _render(col: Column, dt: T.DataType) -> Column:
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.to_json(col)
+    if isinstance(dt, T.BinaryType):
+        return F.base64(col)
+    return col.cast("string")
+
+
+def _is_atomic(dt: T.DataType) -> bool:
+    return not isinstance(dt, (T.StructType, T.ArrayType, T.MapType))
+
+
+class CompiledSchema:
+    """A JSON Structure schema compiled against Spark's type system.
+
+    Usage::
+
+        plan = CompiledSchema(schema_doc, extended=True)
+        validated = plan.validate(df)          # + violations, valid columns
+        bad = violation_rows(validated, ["image_id"])
+        per_part = partition_verdicts(validated)
+    """
+
+    def __init__(self, doc: dict, extended: bool = False,
+                 external_schemas: list[dict] | None = None,
+                 max_depth: int = 64):
+        if external_schemas:
+            doc = import_defs(doc, {s["$id"]: s for s in external_schemas
+                                    if isinstance(s, dict) and "$id" in s})
+        elif isinstance(doc, dict) and _has_imports(doc):
+            doc = import_defs(doc, {})
+        self.doc = doc
+        self.extended = extended
+        self.max_depth = max_depth
+        exts = detect_extensions(doc, extended)
+        self.ctx = Ctx(
+            validation="JSONStructureValidation" in exts,
+            conditionals="JSONStructureConditionalComposition" in exts,
+        )
+        self.root = effective(doc, doc, max_depth=max_depth)
+
+    # -- Spark schema inference -------------------------------------------------
+    def struct_type(self) -> T.StructType:
+        """Expected DataFrame schema: object roots map properties to columns,
+        scalar/compound roots map the whole instance to a ``value`` column."""
+        node = self.root
+        if node.get("type") == "object":
+            return self._object_struct(node)
+        return T.StructType([T.StructField("value", self.spark_type(node), True)])
+
+    def _object_struct(self, node: dict) -> T.StructType:
+        fields = []
+        for name, sub in node.get("properties", {}).items():
+            fields.append(T.StructField(
+                name, self.spark_type(effective(self.doc, sub, max_depth=self.max_depth)),
+                True))
+        return T.StructType(fields)
+
+    def spark_type(self, node: dict, depth: int = 0) -> T.DataType:
+        if depth > self.max_depth:
+            raise SchemaCompileError("schema too deep for typed mapping")
+        node = effective(self.doc, node, max_depth=self.max_depth)
+        t = node.get("type")
+        if isinstance(t, list):
+            non_null = [x for x in t if x != "null"]
+            if len(non_null) == 1 and isinstance(non_null[0], str):
+                return self.spark_type({"type": non_null[0]}, depth + 1)
+            if len(non_null) == 1 and isinstance(non_null[0], dict):
+                return self.spark_type(non_null[0], depth + 1)
+            return T.StringType()  # heterogeneous union: keep JSON text
+        if not isinstance(t, str):
+            return T.StringType()
+        if t in ("string", "date", "datetime", "time", "duration", "uuid",
+                 "uri", "jsonpointer", "null", "any"):
+            return T.StringType()
+        if t in STRING_BACKED:
+            return T.StringType()
+        if t in ("number", "float", "double", "float8"):
+            return T.DoubleType()
+        if t in SMALL_INT_RANGES:
+            return T.LongType()
+        if t == "boolean":
+            return T.BooleanType()
+        if t == "binary":
+            return T.BinaryType()
+        if t == "object":
+            return self._object_struct(node)
+        if t in ("array", "set"):
+            items = node.get("items") or {"type": "any"}
+            return T.ArrayType(self.spark_type(items, depth + 1), True)
+        if t == "map":
+            values = node.get("values") or {"type": "any"}
+            return T.MapType(T.StringType(), self.spark_type(values, depth + 1), True)
+        if t == "tuple":
+            props = node.get("properties", {})
+            order = node.get("tuple", [])
+            return T.StructType([
+                T.StructField(n, self.spark_type(props[n], depth + 1), True)
+                for n in order if n in props])
+        if t == "choice":
+            return T.StructType([
+                T.StructField(n, self.spark_type(sub, depth + 1), True)
+                for n, sub in node.get("choices", {}).items()])
+        raise SchemaCompileError(f"unsupported type '{t}' for typed mapping")
+
+    # -- binding to a DataFrame -----------------------------------------------
+    def constraints(self, df: DataFrame) -> list[Constraint]:
+        node = self.root
+        ctx = self.ctx.with_node(node)
+        if node.get("type") == "object":
+            return self._object_constraints_toplevel(df, node, ctx)
+        dt = dict(zip(df.schema.names, [f.dataType for f in df.schema.fields]))
+        if "value" not in dt:
+            raise SchemaCompileError("scalar-root schema expects a 'value' column")
+        col = df["value"]
+        out = [Constraint(E.INSTANCE_TYPE_MISMATCH, "#",
+                          _root_null_ok(node, col), _render(col, dt["value"]))]
+        out.extend(self._node(node, "#", col, dt["value"], ctx, 0))
+        return out
+
+    def _object_constraints_toplevel(self, df: DataFrame, node: dict,
+                                     ctx: Ctx) -> list[Constraint]:
+        """Top-level object: DataFrame columns ARE the properties, so child
+        expressions bind straight to scan columns (keeps pushdown/pruning)."""
+        out: list[Constraint] = []
+        schema_by_name = {f.name: f.dataType for f in df.schema.fields}
+        props = node.get("properties", {})
+        for r in node.get("required", []) or []:
+            if r in schema_by_name:
+                out.append(Constraint(E.INSTANCE_REQUIRED_PROPERTY_MISSING,
+                                      f"#/{r}", df[r].isNotNull(), F.lit(None).cast("string")))
+            else:
+                out.append(Constraint(E.INSTANCE_REQUIRED_PROPERTY_MISSING,
+                                      f"#/{r}", F.lit(False), F.lit(None).cast("string")))
+        for name, sub in props.items():
+            if name not in schema_by_name:
+                continue  # absent column == always-absent property
+            out.extend(self._node(sub, f"#/{name}", df[name],
+                                  schema_by_name[name], ctx, 1))
+        if ctx.validation:
+            present = [F.col(n).isNotNull().cast("int") for n in schema_by_name
+                       if n in props] or [F.lit(0)]
+            nprops = reduce(lambda a, b: a + b, present)
+            if "minProperties" in node:
+                out.append(Constraint(E.INSTANCE_MIN_PROPERTIES, "#",
+                                      nprops >= F.lit(node["minProperties"]),
+                                      nprops.cast("string")))
+            if "maxProperties" in node:
+                out.append(Constraint(E.INSTANCE_MAX_PROPERTIES, "#",
+                                      nprops <= F.lit(node["maxProperties"]),
+                                      nprops.cast("string")))
+            if isinstance(node.get("dependentRequired"), dict):
+                for trig, deps in node["dependentRequired"].items():
+                    if trig not in schema_by_name or not isinstance(deps, list):
+                        continue
+                    for d in deps:
+                        dep_ok = (df[d].isNotNull() if d in schema_by_name
+                                  else F.lit(False))
+                        out.append(Constraint(
+                            E.INSTANCE_DEPENDENT_REQUIRED, f"#/{trig}",
+                            F.when(df[trig].isNull(), F.lit(True)).otherwise(dep_ok),
+                            F.lit(f"{trig} -> {d}")))
+        if ctx.conditionals:
+            out.extend(self._conditionals_toplevel(df, node, ctx))
+        return out
+
+    def _conditionals_toplevel(self, df, node, ctx):
+        """Root-level conditionals over an object row: bind subschema
+        predicates against a struct of the row's columns."""
+        if not any(k in node for k in CONDITIONAL_KEYWORDS):
+            return []
+        row = F.struct(*[df[n] for n in df.schema.names])
+        dt = T.StructType(df.schema.fields)
+        return self._conditional_constraints(node, "#", row, dt, ctx, 0)
+
+    # -- recursive node compiler -------------------------------------------------
+    def _node(self, node: Any, path: str, col: Column, dt: T.DataType,
+              ctx: Ctx, depth: int) -> list[Constraint]:
+        if depth > self.max_depth:
+            raise SchemaCompileError(f"nesting too deep at {path}")
+        node = effective(self.doc, node, max_depth=self.max_depth)
+        ctx = ctx.with_node(node)
+        t = node.get("type")
+        out: list[Constraint] = []
+
+        if isinstance(t, list):
+            branches = []
+            for alt in t:
+                alt_node = {"type": alt} if isinstance(alt, str) else alt
+                try:
+                    branches.append(self._valid(alt_node, col, dt, ctx, depth + 1))
+                except SchemaCompileError:
+                    continue  # branch not representable in this column's type
+            if not branches:
+                raise SchemaCompileError(f"no union branch at {path} fits {dt}")
+            any_ok = reduce(lambda a, b: a | b, branches)
+            out.append(Constraint(E.INSTANCE_UNION_NO_MATCH, path,
+                                  _present(col, any_ok), _render(col, dt)))
+        elif isinstance(t, str):
+            out.extend(self._typed(node, t, path, col, dt, ctx, depth))
+        elif any(k in node for k in CONDITIONAL_KEYWORDS):
+            pass  # conditionals-only schema; handled below
+        else:
+            raise SchemaCompileError(f"schema at {path} has no usable 'type'")
+
+        if ctx.conditionals:
+            out.extend(self._conditional_constraints(node, path, col, dt, ctx, depth))
+        if "const" in node:
+            out.append(Constraint(E.INSTANCE_CONST_MISMATCH, path,
+                                  _present(col, col == F.lit(node["const"])),
+                                  _render(col, dt)))
+        if "enum" in node:
+            out.append(Constraint(E.INSTANCE_ENUM_MISMATCH, path,
+                                  _present(col, col.isin(*node["enum"])),
+                                  _render(col, dt)))
+        return out
+
+    # .. single-validity reduction (for lambda/nested contexts) ..................
+    def _valid(self, node: Any, col: Column, dt: T.DataType, ctx: Ctx,
+               depth: int) -> Column:
+        cons = self._node(node, "#", col, dt, ctx, depth)
+        if not cons:
+            return F.lit(True)
+        return reduce(lambda a, b: a & b, [c.ok for c in cons])
+
+    # .. per-type lowering ......................................................
+    def _typed(self, node: dict, t: str, path: str, col: Column,
+               dt: T.DataType, ctx: Ctx, depth: int) -> list[Constraint]:
+        out: list[Constraint] = []
+        val = _render(col, dt)
+
+        def add(cid: str, pred: Column) -> None:
+            out.append(Constraint(cid, path, _present(col, pred), val))
+
+        if t == "any":
+            pass
+        elif t in ("string",):
+            _require(isinstance(dt, T.StringType), t, dt, path)
+        elif t == "boolean":
+            _require(isinstance(dt, T.BooleanType), t, dt, path)
+        elif t == "null":
+            out.append(Constraint(E.INSTANCE_TYPE_MISMATCH, path,
+                                  col.isNull(), val))
+        elif t in ("number", "float", "double", "float8"):
+            _require(isinstance(dt, _INTEGRAL + _FRACTIONAL), t, dt, path)
+        elif t in SMALL_INT_RANGES:
+            _require(isinstance(dt, _INTEGRAL) or
+                     (isinstance(dt, T.DecimalType) and dt.scale == 0), t, dt, path)
+            lo, hi = SMALL_INT_RANGES[t]
+            if _dtype_can_exceed(dt, lo, hi):
+                add(E.INSTANCE_NUMBER_OUT_OF_RANGE, col.between(F.lit(lo), F.lit(hi)))
+        elif t in BIG_INT_BOUNDS:
+            lo, hi = BIG_INT_BOUNDS[t]
+            if isinstance(dt, T.StringType):
+                # JSON string encoding (reference: instance_validator.py:372-411)
+                add(E.INSTANCE_NUMBER_FORMAT_INVALID, col.rlike(RX["int"]))
+                add(E.INSTANCE_NUMBER_OUT_OF_RANGE, _bigint_in_range(col, lo, hi))
+            elif isinstance(dt, _INTEGRAL):
+                if t != "int64":
+                    add(E.INSTANCE_NUMBER_OUT_OF_RANGE,
+                        col >= F.lit(0) if t.startswith("u") else F.lit(True))
+            elif isinstance(dt, T.DecimalType) and dt.scale == 0:
+                add(E.INSTANCE_NUMBER_OUT_OF_RANGE,
+                    (col >= F.lit(lo).cast(dt)) & (col <= F.lit(hi).cast(dt)))
+            else:
+                _require(False, t, dt, path)
+        elif t == "decimal":
+            if isinstance(dt, T.StringType):
+                add(E.INSTANCE_DECIMAL_FORMAT_INVALID,
+                    col.try_cast("double").isNotNull())
+            else:
+                _require(isinstance(dt, _FRACTIONAL + _INTEGRAL), t, dt, path)
+        elif t in ("date", "datetime", "time", "duration", "jsonpointer"):
+            code = {
+                "date": E.INSTANCE_DATE_FORMAT_INVALID,
+                "datetime": E.INSTANCE_DATETIME_FORMAT_INVALID,
+                "time": E.INSTANCE_TIME_FORMAT_INVALID,
+                "duration": E.INSTANCE_DURATION_FORMAT_INVALID,
+                "jsonpointer": E.INSTANCE_JSONPOINTER_FORMAT_INVALID,
+            }[t]
+            if isinstance(dt, T.StringType):
+                add(code, col.rlike(RX[t]))
+            elif t == "date":
+                _require(isinstance(dt, T.DateType), t, dt, path)
+            elif t == "datetime":
+                _require(isinstance(dt, (T.TimestampType, T.TimestampNTZType)), t, dt, path)
+            else:
+                _require(False, t, dt, path)
+        elif t == "uuid":
+            _require(isinstance(dt, T.StringType), t, dt, path)
+            add(E.INSTANCE_UUID_FORMAT_INVALID, col.rlike(RX["uuid"]))
+        elif t == "uri":
+            _require(isinstance(dt, T.StringType), t, dt, path)
+            add(E.INSTANCE_URI_FORMAT_INVALID, col.rlike(RX["uri"]))
+        elif t == "binary":
+            _require(isinstance(dt, (T.BinaryType, T.StringType)), t, dt, path)
+        elif t == "object":
+            out.extend(self._object(node, path, col, dt, ctx, depth))
+        elif t in ("array", "set"):
+            out.extend(self._array(node, t, path, col, dt, ctx, depth))
+        elif t == "map":
+            out.extend(self._map(node, path, col, dt, ctx, depth))
+        elif t == "tuple":
+            out.extend(self._tuple(node, path, col, dt, ctx, depth))
+        elif t == "choice":
+            out.extend(self._choice(node, path, col, dt, ctx, depth))
+        else:
+            raise SchemaCompileError(f"unknown type '{t}' at {path}")
+
+        if ctx.validation:
+            out.extend(self._addins(node, t, path, col, dt, ctx, depth))
+        return out
+
+    # .. object over a StructType column ..........................................
+    def _object(self, node, path, col, dt, ctx, depth) -> list[Constraint]:
+        _require(isinstance(dt, T.StructType), "object", dt, path)
+        out: list[Constraint] = []
+        by_name = {f.name: f.dataType for f in dt.fields}
+        props = node.get("properties", {})
+        for r in node.get("required", []) or []:
+            field_ok = (col.getField(r).isNotNull() if r in by_name else F.lit(False))
+            out.append(Constraint(E.INSTANCE_REQUIRED_PROPERTY_MISSING,
+                                  f"{path}/{r}",
+                                  _present(col, field_ok),
+                                  F.lit(None).cast("string")))
+        for name, sub in props.items():
+            if name in by_name:
+                inner = self._node(sub, f"{path}/{name}", col.getField(name),
+                                   by_name[name], ctx, depth + 1)
+                # a NULL parent struct must not fail child checks
+                out.extend(Constraint(c.cid, c.path,
+                                      F.when(col.isNull(), F.lit(True)).otherwise(c.ok),
+                                      c.value) for c in inner)
+        if "has" in node:
+            has_ok = F.lit(False)
+            for name, fdt in by_name.items():
+                try:
+                    has_ok = has_ok | (col.getField(name).isNotNull()
+                                       & self._valid(node["has"], col.getField(name),
+                                                     fdt, ctx, depth + 1))
+                except SchemaCompileError:
+                    continue
+            out.append(Constraint(E.INSTANCE_HAS_NO_MATCH, path,
+                                  _present(col, has_ok), _render(col, dt)))
+        if ctx.validation:
+            present = [col.getField(n).isNotNull().cast("int") for n in by_name] \
+                or [F.lit(0)]
+            nprops = reduce(lambda a, b: a + b, present)
+            if "minProperties" in node:
+                out.append(Constraint(E.INSTANCE_MIN_PROPERTIES, path,
+                                      _present(col, nprops >= F.lit(node["minProperties"])),
+                                      nprops.cast("string")))
+            if "maxProperties" in node:
+                out.append(Constraint(E.INSTANCE_MAX_PROPERTIES, path,
+                                      _present(col, nprops <= F.lit(node["maxProperties"])),
+                                      nprops.cast("string")))
+            if isinstance(node.get("dependentRequired"), dict):
+                for trig, deps in node["dependentRequired"].items():
+                    if trig not in by_name or not isinstance(deps, list):
+                        continue
+                    for d in deps:
+                        dep_ok = (col.getField(d).isNotNull() if d in by_name
+                                  else F.lit(False))
+                        out.append(Constraint(
+                            E.INSTANCE_DEPENDENT_REQUIRED, f"{path}/{trig}",
+                            _present(col, F.when(col.getField(trig).isNull(),
+                                                 F.lit(True)).otherwise(dep_ok)),
+                            F.lit(f"{trig} -> {d}")))
+            if isinstance(node.get("patternProperties"), dict):
+                # struct keys are static: match property names at compile time
+                for pat, sub in node["patternProperties"].items():
+                    rx = re.compile(pat)
+                    for name, fdt in by_name.items():
+                        if rx.search(name):
+                            out.extend(self._node(sub, f"{path}/{name}",
+                                                  col.getField(name), fdt, ctx,
+                                                  depth + 1))
+            if "propertyNames" in node and isinstance(node["propertyNames"], dict):
+                # constant-fold static keys through the row kernel
+                checker = RowChecker(node["propertyNames"], extended=True)
+                for name in by_name:
+                    if not checker.is_valid(name):
+                        out.append(Constraint(E.INSTANCE_PROPERTY_NAME_INVALID,
+                                              f"{path}/{name}", F.lit(False),
+                                              F.lit(name)))
+        return out
+
+    # .. array / set over ArrayType ...............................................
+    def _array(self, node, t, path, col, dt, ctx, depth) -> list[Constraint]:
+        _require(isinstance(dt, T.ArrayType), t, dt, path)
+        et = dt.elementType
+        out: list[Constraint] = []
+        val = _render(col, dt)
+        items = node.get("items")
+        if items:
+            # one array-level constraint per inner constraint code so that
+            # violation rows keep precise codes (forall over the elements)
+            inner_codes = self._inner_codes(items, et, ctx, depth)
+            for cid in inner_codes:
+                pred = self._forall_code(col, items, et, ctx, depth, cid)
+                out.append(Constraint(cid, f"{path}[]", _present(col, pred), val))
+        if t == "set" or node.get("uniqueItems") is True:
+            if _is_atomic(et):
+                uniq = F.size(F.array_distinct(col)) == F.size(col)
+            else:
+                uniq = (F.size(F.array_distinct(F.transform(col, F.to_json)))
+                        == F.size(col))
+            gate = (t == "set") or ctx.validation
+            if gate:
+                out.append(Constraint(E.INSTANCE_SET_DUPLICATE, path,
+                                      _present(col, uniq), val))
+        if ctx.validation:
+            if "minItems" in node:
+                out.append(Constraint(E.INSTANCE_MIN_ITEMS, path,
+                                      _present(col, F.size(col) >= F.lit(node["minItems"])),
+                                      F.size(col).cast("string")))
+            if "maxItems" in node:
+                out.append(Constraint(E.INSTANCE_MAX_ITEMS, path,
+                                      _present(col, F.size(col) <= F.lit(node["maxItems"])),
+                                      F.size(col).cast("string")))
+            if "contains" in node:
+                contains = node["contains"]
+                cnt = F.size(F.filter(
+                    col, lambda x: self._valid(contains, x, et, ctx, depth + 1)))
+                out.append(Constraint(E.INSTANCE_CONTAINS_NONE, path,
+                                      _present(col, cnt > F.lit(0)), val))
+                if "minContains" in node:
+                    out.append(Constraint(E.INSTANCE_MIN_CONTAINS, path,
+                                          _present(col, cnt >= F.lit(node["minContains"])),
+                                          cnt.cast("string")))
+                if "maxContains" in node:
+                    out.append(Constraint(E.INSTANCE_MAX_CONTAINS, path,
+                                          _present(col, cnt <= F.lit(node["maxContains"])),
+                                          cnt.cast("string")))
+        return out
+
+    def _inner_codes(self, items: dict, et: T.DataType, ctx: Ctx,
+                     depth: int) -> list[str]:
+        probe = self._node(items, "#", F.lit(None).cast(et), et, ctx, depth + 1)
+        seen: list[str] = []
+        for c in probe:
+            if c.cid not in seen:
+                seen.append(c.cid)
+        return seen
+
+    def _forall_code(self, arr: Column, items: dict, et: T.DataType, ctx: Ctx,
+                     depth: int, cid: str) -> Column:
+        # NOTE: must be a dedicated closure — a default-arg lambda
+        # (``lambda x, c=cid``) changes the arity PySpark infers for the
+        # higher-order function and it would bind c to the index variable.
+        return F.forall(arr, lambda x: self._code_ok(items, x, et, ctx, depth, cid))
+
+    def _code_ok(self, items: dict, x: Column, et: T.DataType, ctx: Ctx,
+                 depth: int, cid: str) -> Column:
+        cons = [c for c in self._node(items, "#", x, et, ctx, depth + 1)
+                if c.cid == cid]
+        if not cons:
+            return F.lit(True)
+        return reduce(lambda a, b: a & b, [c.ok for c in cons])
+
+    # .. map over MapType ..........................................................
+    def _map(self, node, path, col, dt, ctx, depth) -> list[Constraint]:
+        _require(isinstance(dt, T.MapType), "map", dt, path)
+        vt = dt.valueType
+        out: list[Constraint] = []
+        val = _render(col, dt)
+        values = node.get("values")
+        if values:
+            for cid in self._inner_codes(values, vt, ctx, depth):
+                pred = self._forall_code(F.map_values(col), values, vt, ctx, depth, cid)
+                out.append(Constraint(cid, f"{path}/*", _present(col, pred), val))
+        if ctx.validation:
+            if "minEntries" in node:
+                out.append(Constraint(E.INSTANCE_MAP_MIN_ENTRIES, path,
+                                      _present(col, F.size(col) >= F.lit(node["minEntries"])),
+                                      F.size(col).cast("string")))
+            if "maxEntries" in node:
+                out.append(Constraint(E.INSTANCE_MAP_MAX_ENTRIES, path,
+                                      _present(col, F.size(col) <= F.lit(node["maxEntries"])),
+                                      F.size(col).cast("string")))
+            if isinstance(node.get("patternKeys"), dict):
+                for pat, sub in node["patternKeys"].items():
+                    java_pat = pat
+                    matching = F.map_filter(col, lambda k, v: k.rlike(java_pat))
+                    pred = F.forall(F.map_values(matching),
+                                    lambda v: self._valid(sub, v, vt, ctx, depth + 1))
+                    out.append(Constraint(E.INSTANCE_MAP_KEY_INVALID, path,
+                                          _present(col, pred), val))
+            if isinstance(node.get("keyNames"), dict):
+                kn = dict(node["keyNames"])
+                uses = list(kn.get("$uses", []))
+                if "JSONStructureValidation" not in uses:
+                    uses.append("JSONStructureValidation")
+                kn["$uses"] = uses
+                kn_ctx = ctx.with_node(kn)
+                pred = F.forall(F.map_keys(col),
+                                lambda k: self._valid(kn, k, T.StringType(),
+                                                      kn_ctx, depth + 1))
+                out.append(Constraint(E.INSTANCE_MAP_KEY_INVALID, path,
+                                      _present(col, pred), val))
+        return out
+
+    # .. tuple over StructType (positional fields) ..................................
+    def _tuple(self, node, path, col, dt, ctx, depth) -> list[Constraint]:
+        _require(isinstance(dt, T.StructType), "tuple", dt, path)
+        props = node.get("properties", {})
+        order = node.get("tuple", [])
+        by_name = {f.name: f.dataType for f in dt.fields}
+        out: list[Constraint] = []
+        for name in order:
+            if name in props and name in by_name:
+                inner = self._node(props[name], f"{path}/{name}",
+                                   col.getField(name), by_name[name], ctx, depth + 1)
+                out.extend(Constraint(c.cid, c.path,
+                                      F.when(col.isNull(), F.lit(True)).otherwise(c.ok),
+                                      c.value) for c in inner)
+        return out
+
+    # .. choice (tagged union) over StructType .......................................
+    def _choice(self, node, path, col, dt, ctx, depth) -> list[Constraint]:
+        _require(isinstance(dt, T.StructType), "choice", dt, path)
+        choices = node.get("choices", {})
+        by_name = {f.name: f.dataType for f in dt.fields}
+        out: list[Constraint] = []
+        set_fields = [col.getField(f.name).isNotNull().cast("int") for f in dt.fields]
+        nset = reduce(lambda a, b: a + b, set_fields) if set_fields else F.lit(0)
+        out.append(Constraint(E.INSTANCE_CHOICE_INVALID, path,
+                              _present(col, nset == F.lit(1)), _render(col, dt)))
+        for name, sub in choices.items():
+            if name not in by_name:
+                continue
+            inner = self._node(sub, f"{path}/{name}", col.getField(name),
+                               by_name[name], ctx, depth + 1)
+            out.extend(Constraint(c.cid, c.path,
+                                  F.when(col.isNull() | col.getField(name).isNull(),
+                                         F.lit(True)).otherwise(c.ok),
+                                  c.value) for c in inner)
+        return out
+
+    # .. conditional composition ....................................................
+    def _conditional_constraints(self, node, path, col, dt, ctx, depth):
+        out: list[Constraint] = []
+        val = _render(col, dt)
+        if "allOf" in node:
+            for i, sub in enumerate(node["allOf"]):
+                out.extend(self._node(sub, f"{path}/allOf[{i}]", col, dt, ctx,
+                                      depth + 1))
+        if "anyOf" in node:
+            branch = [self._valid(s, col, dt, ctx, depth + 1) for s in node["anyOf"]]
+            out.append(Constraint(E.INSTANCE_ANY_OF_NONE_MATCHED, path,
+                                  _present(col, reduce(lambda a, b: a | b, branch)),
+                                  val))
+        if "oneOf" in node:
+            hits = [F.coalesce(self._valid(s, col, dt, ctx, depth + 1),
+                               F.lit(False)).cast("int") for s in node["oneOf"]]
+            total = reduce(lambda a, b: a + b, hits)
+            out.append(Constraint(E.INSTANCE_ONE_OF_INVALID_COUNT, path,
+                                  _present(col, total == F.lit(1)), val))
+        if "not" in node:
+            out.append(Constraint(E.INSTANCE_NOT_MATCHED, path,
+                                  _present(col, ~F.coalesce(
+                                      self._valid(node["not"], col, dt, ctx, depth + 1),
+                                      F.lit(False))),
+                                  val))
+        if "if" in node:
+            cond = F.coalesce(self._valid(node["if"], col, dt, ctx, depth + 1),
+                              F.lit(False))
+            then_ok = (self._valid(node["then"], col, dt, ctx, depth + 1)
+                       if "then" in node else F.lit(True))
+            else_ok = (self._valid(node["else"], col, dt, ctx, depth + 1)
+                       if "else" in node else F.lit(True))
+            out.append(Constraint(E.INSTANCE_CONDITIONAL_FAILED, path,
+                                  _present(col, F.when(cond, then_ok).otherwise(else_ok)),
+                                  val))
+        return out
+
+    # .. validation addins ...........................................................
+    def _addins(self, node, t, path, col, dt, ctx, depth) -> list[Constraint]:
+        out: list[Constraint] = []
+        val = _render(col, dt)
+
+        def add(cid, pred):
+            out.append(Constraint(cid, path, _present(col, pred), val))
+
+        if t in NUMERIC_TYPES:
+            num = (col.try_cast("double") if isinstance(dt, T.StringType)
+                   else col)
+
+            def bound(x):
+                return F.lit(float(x) if isinstance(x, str) else x)
+
+            if "minimum" in node:
+                add(E.INSTANCE_NUMBER_MINIMUM, num >= bound(node["minimum"]))
+            if "maximum" in node:
+                add(E.INSTANCE_NUMBER_MAXIMUM, num <= bound(node["maximum"]))
+            if "exclusiveMinimum" in node:
+                em = node["exclusiveMinimum"]
+                if isinstance(em, bool):
+                    if em and "minimum" in node:
+                        add(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM,
+                            num > bound(node["minimum"]))
+                else:
+                    add(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM, num > bound(em))
+            if "exclusiveMaximum" in node:
+                em = node["exclusiveMaximum"]
+                if isinstance(em, bool):
+                    if em and "maximum" in node:
+                        add(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM,
+                            num < bound(node["maximum"]))
+                else:
+                    add(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, num < bound(em))
+            if "multipleOf" in node:
+                # quotient-rounding with 1e-10 tolerance, NOT modulo
+                # (reference: instance_validator.py:879-888)
+                q = num.cast("double") / F.lit(float(node["multipleOf"]))
+                add(E.INSTANCE_NUMBER_MULTIPLE_OF,
+                    F.abs(q - F.round(q, 0)) <= F.lit(1e-10))
+        if t == "string" and isinstance(dt, T.StringType):
+            if "minLength" in node:
+                add(E.INSTANCE_STRING_MIN_LENGTH,
+                    F.length(col) >= F.lit(node["minLength"]))
+            if "maxLength" in node:
+                add(E.INSTANCE_STRING_MAX_LENGTH,
+                    F.length(col) <= F.lit(node["maxLength"]))
+            if "pattern" in node:
+                # unanchored search semantics == Java find() == rlike
+                add(E.INSTANCE_STRING_PATTERN_MISMATCH, col.rlike(node["pattern"]))
+            if "format" in node and node["format"] in RX:
+                add(E.INSTANCE_FORMAT_INVALID, col.rlike(RX[node["format"]]))
+        return out
+
+    # -- plan application --------------------------------------------------------
+    def validate(self, df: DataFrame) -> DataFrame:
+        """Append ``violations: array<struct<constraint_id,path,value>>`` and
+        ``valid: boolean`` in a single projection."""
+        cons = self.constraints(df)
+        cells = [
+            F.when(~c.ok, F.struct(
+                F.lit(c.cid).alias("constraint_id"),
+                F.lit(c.path).alias("path"),
+                c.value.cast("string").alias("value"),
+            ))
+            for c in cons
+        ]
+        if cells:
+            arr = F.array_compact(F.array(*cells))
+        else:
+            arr = F.array().cast("array<struct<constraint_id:string,path:string,value:string>>")
+        return df.withColumn("violations", arr) \
+                 .withColumn("valid", F.size(F.col("violations")) == F.lit(0))
+
+
+def _root_null_ok(node: dict, col: Column) -> Column:
+    """A NULL root instance is a type error unless the type admits null
+    (reference treats e.g. None-vs-string as 'Expected string')."""
+    t = node.get("type")
+    if t in ("null", "any") or (isinstance(t, list) and "null" in t):
+        return F.lit(True)
+    return col.isNotNull()
+
+
+def _has_imports(obj: Any) -> bool:
+    if isinstance(obj, dict):
+        if "$import" in obj or "$importdefs" in obj:
+            return True
+        return any(_has_imports(v) for k, v in obj.items() if k != "properties")
+    if isinstance(obj, list):
+        return any(_has_imports(x) for x in obj)
+    return False
+
+
+def _require(cond: bool, t: str, dt: T.DataType, path: str) -> None:
+    if not cond:
+        raise SchemaCompileError(
+            f"schema type '{t}' at {path} is incompatible with column type {dt.simpleString()}")
+
+
+def _dtype_can_exceed(dt: T.DataType, lo: int, hi: int) -> bool:
+    limits = {
+        T.ByteType: (-(2**7), 2**7 - 1),
+        T.ShortType: (-(2**15), 2**15 - 1),
+        T.IntegerType: (-(2**31), 2**31 - 1),
+        T.LongType: (-(2**63), 2**63 - 1),
+    }
+    dlo, dhi = limits.get(type(dt), (float("-inf"), float("inf")))
+    return dlo < lo or dhi > hi
+
+
+def _bigint_in_range(col: Column, lo: str, hi: str) -> Column:
+    """Range check for 64/128-bit integers carried as digit strings.
+
+    decimal(38,0) cannot hold 2^127, so compare by (sign, digit-count,
+    lexicographic) — valid for canonical digit strings."""
+    digits = F.regexp_replace(col, r"^[+-]", "")
+    digits = F.regexp_replace(digits, r"^0+(?=\d)", "")
+    neg = col.startswith("-") & (digits != F.lit("0"))
+
+    def cmp_le(a_digits, b: str):
+        blen = len(b)
+        return (F.length(a_digits) < F.lit(blen)) | (
+            (F.length(a_digits) == F.lit(blen)) & (a_digits <= F.lit(b)))
+
+    hi_digits = hi.lstrip("+-")
+    lo_digits = lo.lstrip("+-")
+    pos_ok = cmp_le(digits, hi_digits)
+    if lo.startswith("-"):
+        neg_ok = cmp_le(digits, lo_digits)
+        return F.when(neg, neg_ok).otherwise(pos_ok)
+    return ~neg & pos_ok
+
+
+# ---------------------------------------------------------------------------
+# runtime helpers
+
+VIOLATION_SCHEMA = "array<struct<constraint_id:string,path:string,value:string>>"
+
+
+def violation_rows(validated: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Explode the violations array into one row per (key, violation)."""
+    v = F.explode(F.col("violations")).alias("v")
+    return (validated
+            .where(F.size("violations") > 0)
+            .select(*key_cols, v)
+            .select(*key_cols,
+                    F.col("v.constraint_id").alias("constraint_id"),
+                    F.col("v.path").alias("path"),
+                    F.col("v.value").alias("value")))
+
+
+def partition_verdicts(validated: DataFrame,
+                       partition_col: str | None = None) -> DataFrame:
+    """Per-partition pass/fail verdict: one cheap shuffle of partition-count rows."""
+    part = (F.col(partition_col) if partition_col
+            else F.spark_partition_id()).alias("partition")
+    return (validated
+            .groupBy(part)
+            .agg(F.count(F.lit(1)).alias("rows"),
+                 F.sum(F.col("valid").cast("long")).alias("valid_rows"),
+                 F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+                 F.sum(F.size("violations").cast("long")).alias("violation_count"))
+            .withColumn("passed", F.col("invalid_rows") == F.lit(0)))
