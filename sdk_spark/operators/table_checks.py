@@ -1,0 +1,161 @@
+"""Table-level validation operators (engine-new; no reference analogue).
+
+The reference validates one JSON document at a time; at 10^12-row scale the
+interesting constraints are *cross-row*: key uniqueness, referential
+integrity, column statistics, and distribution drift (north_rule).  The
+closest reference concepts are the per-array ``set`` duplicate check
+(reference: instance_validator.py:521-527) and ``enum`` membership
+(reference: instance_validator.py:641-643); these operators generalize them
+to whole tables with explicit shuffle/skew strategy:
+
+* ``duplicate_keys`` — two-phase salted aggregation: a per-input-partition
+  partial count (salt = ``spark_partition_id()``) followed by a final merge,
+  so a pathologically hot key (30% of rows sharing one ``phash``) never
+  concentrates raw rows on one reducer.
+* ``fk_orphans`` — left-anti join, broadcast by default (dimension tables
+  are small); sort-merge fallback for large dimensions.
+* ``column_profile`` — one aggregation pass over all profiled columns:
+  count / null-rate / min / max / HLL approx-distinct.
+* ``quantile_sketch`` / ``drift`` — KLL-style ``percentile_approx`` sketches
+  (partials merged tree-wise by Spark's agg) compared against a reference
+  sketch for population-drift detection.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import errors as E
+
+DEFAULT_QUANTILES = [0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99]
+
+
+def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Keys appearing more than once, with their multiplicity.
+
+    Explicit two-phase aggregation: the partial ``groupBy(keys, partition)``
+    bounds shuffle volume to (#partitions × #distinct-keys-per-partition)
+    rows regardless of key skew; the final merge sums tiny partials.
+    """
+    partial = (df
+               .groupBy(*keys, F.spark_partition_id().alias("_salt"))
+               .agg(F.count(F.lit(1)).alias("_partial")))
+    return (partial
+            .groupBy(*keys)
+            .agg(F.sum("_partial").alias("cnt"))
+            .where(F.col("cnt") > 1))
+
+
+def unique_violations(df: DataFrame, keys: list[str],
+                      broadcast_threshold: int | None = 10_000_000) -> DataFrame:
+    """Violation rows for every row whose key is duplicated.
+
+    The duplicate-key set is usually tiny → broadcast it back onto the fact
+    table (no second shuffle of the big side). Pass
+    ``broadcast_threshold=None`` to force the sort-merge path.
+    """
+    dups = duplicate_keys(df, keys)
+    right = F.broadcast(dups) if broadcast_threshold is not None else dups
+    joined = df.join(right, on=keys, how="inner")
+    key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    return joined.select(
+        *keys,
+        F.lit(E.ENGINE_UNIQUE_VIOLATION).alias("constraint_id"),
+        F.lit("#/" + ",".join(keys)).alias("path"),
+        key_expr.alias("value"),
+        F.col("cnt").alias("multiplicity"),
+    )
+
+
+def fk_orphans(fact: DataFrame, fk_cols: list[str],
+               dim: DataFrame, pk_cols: list[str],
+               broadcast_dim: bool = True) -> DataFrame:
+    """Rows in ``fact`` whose foreign key has no match in ``dim``.
+
+    Broadcast left-anti by default (dimensions are small); with
+    ``broadcast_dim=False`` Catalyst/AQE picks shuffled hash or sort-merge.
+    """
+    dim_keys = dim.select(*[F.col(c).alias(f"__pk_{i}")
+                            for i, c in enumerate(pk_cols)]).distinct()
+    if broadcast_dim:
+        dim_keys = F.broadcast(dim_keys)
+    cond = reduce(lambda a, b: a & b,
+                  [fact[fk] == dim_keys[f"__pk_{i}"]
+                   for i, fk in enumerate(fk_cols)])
+    return fact.join(dim_keys, cond, "left_anti")
+
+
+def fk_violations(fact: DataFrame, fk_cols: list[str],
+                  dim: DataFrame, pk_cols: list[str],
+                  key_cols: list[str] | None = None,
+                  broadcast_dim: bool = True) -> DataFrame:
+    orphans = fk_orphans(fact, fk_cols, dim, pk_cols, broadcast_dim)
+    key_cols = key_cols or fk_cols
+    fk_expr = F.concat_ws("|", *[F.col(c).cast("string") for c in fk_cols])
+    return orphans.select(
+        *key_cols,
+        F.lit(E.ENGINE_FK_ORPHAN).alias("constraint_id"),
+        F.lit("#/" + ",".join(fk_cols)).alias("path"),
+        fk_expr.alias("value"),
+    )
+
+
+def column_profile(df: DataFrame, cols: list[str] | None = None,
+                   hll_rsd: float = 0.05) -> DataFrame:
+    """Per-column stats in ONE aggregation pass: count, nulls, min, max,
+    approx distinct (HyperLogLog++). Output: one row per column."""
+    cols = cols or df.columns
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.approx_count_distinct(c, hll_rsd).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot driver-side schema (tiny: one row), keep it a DataFrame
+    stack_expr = ", ".join(
+        f"'{c}', {c}__nulls, {c}__min, {c}__max, {c}__distinct" for c in cols)
+    return wide.selectExpr(
+        "__rows as rows",
+        f"stack({len(cols)}, {stack_expr}) as (column, nulls, min, max, approx_distinct)"
+    ).select("column", "rows", "nulls",
+             (F.col("nulls") / F.col("rows")).alias("null_rate"),
+             "min", "max", "approx_distinct")
+
+
+def quantile_sketch(df: DataFrame, cols: list[str],
+                    quantiles: list[float] | None = None,
+                    accuracy: int = 10_000) -> dict[str, list[float]]:
+    """Merged quantile sketch per column (KLL-style ``percentile_approx``;
+    partials are combined by Spark's partial/final aggregation)."""
+    quantiles = quantiles or DEFAULT_QUANTILES
+    aggs = [F.percentile_approx(c, quantiles, accuracy).alias(c) for c in cols]
+    row = df.agg(*aggs).collect()[0]
+    return {c: list(row[c]) if row[c] is not None else [] for c in cols}
+
+
+def drift(ref_sketch: dict[str, list[float]],
+          cur_sketch: dict[str, list[float]],
+          threshold: float = 0.1) -> list[dict]:
+    """Compare two quantile sketches; drift score = max relative quantile
+    displacement, normalized by the reference IQR-ish scale."""
+    findings = []
+    for col, ref_q in ref_sketch.items():
+        cur_q = cur_sketch.get(col)
+        if not ref_q or not cur_q or len(ref_q) != len(cur_q):
+            continue
+        scale = max(abs(ref_q[-1] - ref_q[0]), 1e-12)
+        score = max(abs(a - b) for a, b in zip(ref_q, cur_q)) / scale
+        findings.append({
+            "column": col,
+            "constraint_id": E.ENGINE_DRIFT_EXCEEDED,
+            "drift_score": score,
+            "exceeded": score > threshold,
+            "threshold": threshold,
+        })
+    return findings

@@ -1,0 +1,71 @@
+"""Local re-implementation of the driver's correctness gate:
+
+every ``queries()`` entry is executed on Spark and its ``oracle_sql()``
+twin on DuckDB over the same parquet tables; row count, column names, and
+order-insensitive values must agree.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path(SF_DIR).exists(), reason="testdata missing")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = pathlib.Path(SF_DIR) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = [r[i] for i in order]
+        out.append(tuple("NULL" if v is None else str(v) for v in vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        assert isinstance(spark_rows, list)  # weaker rows-only check
+        return
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}")
+    assert normalize(spark_rows, spark_cols) == normalize(duck_rows, duck_cols), (
+        f"{name}: value mismatch")
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"l_returnflag", "rows", "invalid_rows", "passed"}
