@@ -15,7 +15,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# python workers spawned by a not-yet-created session inherit this
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+_shipped_sessions: set[int] = set()
+
+
+def _ship_package(spark) -> None:
+    """Make sdk_spark importable on executor python workers even when the
+    caller's SparkSession predates our PYTHONPATH export (addPyFile
+    distributes a zip and prepends it to worker sys.path)."""
+    if id(spark) in _shipped_sessions:
+        return
+    import zipfile
+
+    # always rebuild: a stale zip would silently shadow code changes
+    zip_path = os.path.join("/tmp", "sdk_spark_pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        pkg = os.path.join(_REPO, "sdk_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO))
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped_sessions.add(id(spark))
 
 from sdk_spark.compiler.core import (  # noqa: E402
     CompiledSchema,
@@ -171,6 +197,116 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compiled plan over the documents table (range+enum+length combo)."""
+    docs = _t(spark, sf_dir, "documents")
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/docs", "name": "Doc",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {
+            "doc_id": {"type": "int64"},
+            "n_chars": {"type": "int32", "minimum": 1, "maximum": 400},
+            "lang": {"type": "string", "enum": ["en", "de", "fr", "es", "zh"]},
+            "text": {"type": "string", "minLength": 60},
+        },
+        "required": ["doc_id", "text"],
+    }
+    validated = CompiledSchema(schema, extended=True).validate(docs)
+    return (violation_rows(validated, ["doc_id"])
+            .select("doc_id", "constraint_id"))
+
+
+def q_json_props_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched JSON fallback path: validate events.props documents."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    events = _t(spark, sf_dir, "events")
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/props", "name": "Props",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {"k": {"type": "int32", "minimum": 0, "maximum": 50}},
+        "required": ["k"],
+    }
+    return (validate_json_column(events, "props", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text-analysis operators: token counting + quality features."""
+    from sdk_spark.operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_chars_calc", "n_tokens", "stop_hits")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heuristic language-ID (stopword-profile argmax + CJK chars)."""
+    from sdk_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_id(docs).select(
+        "doc_id", "hits_en", "hits_de", "hits_fr", "hits_es", "hits_zh",
+        "pred_lang")
+
+
+def q_exact_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact dedup via normalized-content fingerprint groups."""
+    from sdk_spark.operators.dedup import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("dup_rows"))
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates → exact Jaccard rescoring (no SQL oracle:
+    xxhash64-based; correctness covered by planted-pair unit tests)."""
+    from sdk_spark.operators.dedup import near_duplicates_minhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_duplicates_minhash(docs, threshold=0.5) \
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash chunk-LSH candidates with Hamming distance (rows-only check)."""
+    from sdk_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return (simhash_candidates(docs)
+            .where(F.col("hamming") <= 10)
+            .select("id_a", "id_b", "hamming"))
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-k over the embeddings table."""
+    from sdk_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    query = [1.0] + [0.0] * (dim - 1)
+    return cosine_topk(emb, query, k=10).select(
+        "vec_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+
+
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (scale path; rows-only check + recall test)."""
+    from sdk_spark.operators.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    query = [1.0] + [0.0] * (dim - 1)
+    return lsh_bucket_topk(emb, query, k=10).select(
+        "vec_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -184,6 +320,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_stats": q_column_stats,
         "verdict_by_flag": q_verdict_by_flag,
         "distinct_counts": q_distinct_counts,
+        "docs_schema_check": q_docs_schema_check,
+        "json_props_check": q_json_props_check,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "exact_dup_count": q_exact_dup_count,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_topk": q_embedding_topk,
+        "embedding_ann": q_embedding_ann,
     }
 
 
@@ -280,6 +425,80 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag
         """,
         # distinct_counts: intentionally no oracle (HLL is approximate)
+        "docs_schema_check": """
+            SELECT doc_id, 'INSTANCE_NUMBER_MAXIMUM' AS constraint_id
+            FROM documents WHERE n_chars > 400
+            UNION ALL
+            SELECT doc_id, 'INSTANCE_NUMBER_MINIMUM'
+            FROM documents WHERE n_chars < 1
+            UNION ALL
+            SELECT doc_id, 'INSTANCE_STRING_MIN_LENGTH'
+            FROM documents WHERE length(text) < 60
+        """,
+        "json_props_check": """
+            SELECT event_id, 'INSTANCE_NUMBER_MAXIMUM' AS constraint_id
+            FROM events WHERE CAST(props->>'k' AS INTEGER) > 50
+            UNION ALL
+            SELECT event_id, 'INSTANCE_NUMBER_MINIMUM'
+            FROM events WHERE CAST(props->>'k' AS INTEGER) < 0
+            UNION ALL
+            SELECT event_id, 'INSTANCE_REQUIRED_PROPERTY_MISSING'
+            FROM events WHERE json_extract(props, '$.k') IS NULL
+        """,
+        "text_quality": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(list_filter(string_split(trim(text), ' '),
+                       x -> x IN ('the','a','of','and','to','in','is','that','it','for')
+                   )) AS stop_hits
+            FROM documents
+        """,
+        "lang_id": """
+            WITH scored AS (
+              SELECT doc_id,
+                len(list_filter(string_split(trim(text),' '),
+                    x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS hits_en,
+                len(list_filter(string_split(trim(text),' '),
+                    x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS hits_de,
+                len(list_filter(string_split(trim(text),' '),
+                    x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS hits_fr,
+                len(list_filter(string_split(trim(text),' '),
+                    x -> x IN ('el','la','los','las','es','un','una','que','de','por'))) AS hits_es,
+                len(regexp_extract_all(text, '[一-鿿]')) AS hits_zh
+              FROM documents)
+            SELECT doc_id, hits_en, hits_de, hits_fr, hits_es, hits_zh,
+                   CASE WHEN hits_zh > GREATEST(hits_en, hits_de, hits_fr, hits_es) THEN 'zh'
+                        WHEN hits_es > GREATEST(hits_en, hits_de, hits_fr) THEN 'es'
+                        WHEN hits_fr > GREATEST(hits_en, hits_de) THEN 'fr'
+                        WHEN hits_de > hits_en THEN 'de'
+                        ELSE 'en' END AS pred_lang
+            FROM scored
+        """,
+        "exact_dup_count": """
+            SELECT count(*) AS dup_groups,
+                   coalesce(sum(n), 0)::BIGINT AS dup_rows
+            FROM (SELECT count(*) AS n FROM documents
+                  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                  HAVING count(*) > 1)
+        """,
+        "embedding_topk": """
+            SELECT vec_id,
+                   CAST(round(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       list_transform(range(1, len(embedding) + 1),
+                                      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)
+                   ) * 1e6) AS BIGINT) AS score_e6
+            FROM embeddings
+            ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       list_transform(range(1, len(embedding) + 1),
+                                      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+        # minhash_near_dups / simhash_near_dups / embedding_ann: xxhash64- or
+        # seeded-hyperplane-based → no SQL twin; rows-only check + unit tests
     }
 
 

@@ -259,6 +259,33 @@ class CompiledSchema:
                 continue  # absent column == always-absent property
             out.extend(self._node(sub, f"#/{name}", df[name],
                                   schema_by_name[name], ctx, 1))
+        if "has" in node:
+            has_ok = F.lit(False)
+            for name, fdt in schema_by_name.items():
+                try:
+                    has_ok = has_ok | (df[name].isNotNull()
+                                       & self._valid(node["has"], df[name], fdt,
+                                                     ctx, 1))
+                except SchemaCompileError:
+                    continue
+            out.append(Constraint(E.INSTANCE_HAS_NO_MATCH, "#",
+                                  F.coalesce(has_ok, F.lit(False)),
+                                  F.lit(None).cast("string")))
+        if ctx.validation:
+            if isinstance(node.get("patternProperties"), dict):
+                for pat, sub in node["patternProperties"].items():
+                    rx = re.compile(pat)
+                    for name, fdt in schema_by_name.items():
+                        if rx.search(name):
+                            out.extend(self._node(sub, f"#/{name}", df[name],
+                                                  fdt, ctx, 1))
+            if isinstance(node.get("propertyNames"), dict):
+                checker = RowChecker(node["propertyNames"], extended=True)
+                for name in schema_by_name:
+                    if name in props and not checker.is_valid(name):
+                        out.append(Constraint(E.INSTANCE_PROPERTY_NAME_INVALID,
+                                              f"#/{name}", F.lit(False),
+                                              F.lit(name)))
         if ctx.validation:
             present = [F.col(n).isNotNull().cast("int") for n in schema_by_name
                        if n in props] or [F.lit(0)]
@@ -838,10 +865,15 @@ VIOLATION_SCHEMA = "array<struct<constraint_id:string,path:string,value:string>>
 
 
 def violation_rows(validated: DataFrame, key_cols: list[str]) -> DataFrame:
-    """Explode the violations array into one row per (key, violation)."""
+    """Explode the violations array into one row per (key, violation).
+
+    No pre-filter: ``explode`` (non-outer) already drops rows with empty
+    arrays, and a ``where(size(violations) > 0)`` would duplicate the whole
+    constraint-array computation into the Filter condition (measured 2-5x
+    slower at 1M rows — Catalyst does not CSE across Filter/Project here).
+    """
     v = F.explode(F.col("violations")).alias("v")
     return (validated
-            .where(F.size("violations") > 0)
             .select(*key_cols, v)
             .select(*key_cols,
                     F.col("v.constraint_id").alias("constraint_id"),

@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force exact top-k: dot product via
+  ``zip_with`` + ``aggregate`` (JVM-side, no UDF), then a global top-k
+  (``orderBy().limit(k)`` lowers to TakeOrderedAndProject — no full sort).
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane (sign) LSH
+  signatures computed in one projection; the query probes only its own
+  bucket (plus optional multi-probe neighbors), so the exact rescoring
+  touches a small candidate set.  Hyperplanes are seeded/deterministic and
+  shipped as literals (broadcast with the plan).
+* ``cosine_near_duplicates`` — pairwise embedding near-dup detection via
+  the same bucket join (dedup tier 5: embedding-cosine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))).cast("double")
+
+
+def _as_vec_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+
+
+def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact brute-force top-k by cosine similarity (baseline path)."""
+    q = _as_vec_lit(query)
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("score"))
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: bit i = sign(<v, plane_i>), packed into a long."""
+    bits = []
+    for row in planes:
+        plane = _as_vec_lit(list(row))
+        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
+    packed = F.lit(0).cast("long")
+    for b in bits:
+        packed = F.shiftleft(packed, 1) + b.cast("long")
+    return packed
+
+
+def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
+                    n_planes: int = 12, seed: int = 42,
+                    dim: int | None = None) -> DataFrame:
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    return df.withColumn(
+        "lsh_bucket",
+        lsh_signature(F.col(vec_col).cast("array<double>"), planes))
+
+
+def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 12, seed: int = 42,
+                    multiprobe: int = 1) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (+ Hamming-1 neighbors when
+    ``multiprobe`` > 0), exact cosine rescoring inside the candidate set.
+
+    At 10^12 scale the table is written bucketed/partitioned by
+    ``lsh_bucket`` so the probe is a partition-pruned scan, not a shuffle.
+    """
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed)
+    qsig = 0
+    for row in planes:
+        qsig = (qsig << 1) | (1 if float(np.dot(row, query)) >= 0 else 0)
+    probes = {qsig}
+    if multiprobe > 0:
+        for i in range(n_planes):
+            probes.add(qsig ^ (1 << i))
+    bucketed = with_lsh_bucket(df, vec_col, n_planes, seed, dim)
+    cands = bucketed.where(F.col("lsh_bucket").isin(*[int(p) for p in probes]))
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                           id_col: str = "vec_id", vec_col: str = "embedding",
+                           n_planes: int = 12, seed: int = 42) -> DataFrame:
+    """Embedding near-dup pairs: bucket join then exact cosine filter."""
+    b = with_lsh_bucket(df, vec_col, n_planes, seed) \
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket")
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (l.join(r, "lsh_bucket")
+             .where(F.col("l.id") < F.col("r.id"))
+             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                     cosine(F.col("l.v").cast("array<double>"),
+                            F.col("r.v").cast("array<double>")).alias("score")))
+    return pairs.where(F.col("score") >= threshold)

@@ -40,7 +40,12 @@ def ref_sdk():
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
     from pyspark.sql import SparkSession
+
+    # executors' Python workers must be able to import sdk_spark
+    os.environ["PYTHONPATH"] = f"{REPO}:{os.environ.get('PYTHONPATH', '')}"
 
     spark = (
         SparkSession.builder.master("local[4]")

@@ -1,0 +1,74 @@
+"""Schema exporter (StructType/dataclass → JSON Structure) and auto-path tests."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import pytest
+
+from sdk_spark.schema.export import schema_from_dataclass, schema_from_struct_type
+from sdk_spark.schema.validator import SchemaChecker
+
+
+@dataclasses.dataclass
+class Img:
+    image_id: str
+    w: int
+    caption: Optional[str]
+    tags: list[str]
+    meta: dict[str, str] = dataclasses.field(default_factory=dict)
+
+
+def test_dataclass_export_roundtrip():
+    doc = schema_from_dataclass(Img)
+    assert not SchemaChecker(extended=True).validate(doc)
+    assert doc["properties"]["tags"] == {"type": "array",
+                                         "items": {"type": "string"}}
+    assert doc["properties"]["meta"] == {"type": "map",
+                                         "values": {"type": "string"}}
+    assert doc["required"] == ["image_id", "w", "tags"]
+    # exported schema must compile on the Catalyst path
+    from sdk_spark.compiler.core import CompiledSchema
+
+    st = CompiledSchema(doc, extended=True).struct_type()
+    assert [f.name for f in st.fields] == ["image_id", "w", "caption", "tags", "meta"]
+
+
+def test_struct_type_export(spark):
+    df = spark.range(1).select("id").withColumnRenamed("id", "a")
+    doc = schema_from_struct_type(df.schema)
+    assert not SchemaChecker(extended=True).validate(doc)
+    assert doc["properties"]["a"] == {"type": "int64"}
+
+
+def test_validate_auto_catalyst_path(spark):
+    from sdk_spark.plans.auto import validate_auto
+
+    doc = schema_from_dataclass(Img)
+    doc["properties"]["w"]["minimum"] = 1
+    df = spark.createDataFrame(
+        [("a", 5, "cap", ["t"], {}), ("b", 0, None, [], {})],
+        "image_id string, w long, caption string, tags array<string>, meta map<string,string>")
+    viol, path = validate_auto(df, doc, ["image_id"])
+    assert path == "catalyst"
+    got = {(r["image_id"], r["constraint_id"]) for r in viol.collect()}
+    assert ("b", "INSTANCE_NUMBER_MINIMUM") in got
+
+
+def test_validate_auto_arrow_fallback(spark):
+    from sdk_spark.plans.auto import validate_auto
+
+    # heterogeneous union the typed compiler cannot bind to one column type
+    doc = {
+        "$schema": "https://json-structure.org/meta/extended/v0/#",
+        "$id": "https://x/u", "name": "U",
+        "type": "object",
+        "properties": {"v": {"type": "choice",
+                             "choices": {"s": {"type": "string"},
+                                         "n": {"type": "int32"}}}},
+    }
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    viol, path = validate_auto(df, doc, ["id"])
+    assert path == "arrow"
+    assert viol.count() >= 1  # "x" is not a choice object

@@ -1,0 +1,116 @@
+"""Checkpoint/resume manifest and Structured Streaming validation tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SCHEMA_DOC = {
+    "$schema": "https://json-structure.org/meta/extended/v0/#",
+    "$id": "https://sdk-spark.local/t", "name": "T",
+    "$uses": ["JSONStructureValidation"],
+    "type": "object",
+    "properties": {"v": {"type": "int32", "minimum": 0, "maximum": 100}},
+    "required": ["v"],
+}
+
+
+def _validate_fn_factory():
+    from sdk_spark.compiler.core import CompiledSchema, violation_rows
+    from sdk_spark.streaming.manifest import validate_partition_metrics
+
+    plan = CompiledSchema(SCHEMA_DOC, extended=True)
+
+    def fn(pdf):
+        validated = plan.validate(pdf)
+        return (violation_rows(validated, ["id"]),
+                validate_partition_metrics(validated))
+
+    return fn
+
+
+@pytest.fixture()
+def input_df(spark):
+    # 3 partitions p=0,1,2; v=150 rows violate maximum in p=2
+    return spark.range(0, 300).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        F.when(F.col("id") % 3 == 2, F.lit(150))
+         .otherwise(F.col("id") % 50).cast("long").alias("v"))
+
+
+def test_resume_skips_committed(spark, input_df, tmp_path):
+    from sdk_spark.streaming.manifest import committed_partitions, run_resumable
+
+    manifest = str(tmp_path / "manifest")
+    viols = str(tmp_path / "violations")
+    fn = _validate_fn_factory()
+
+    # simulate a killed job: only one partition gets committed
+    run1 = run_resumable(spark, input_df, "p", manifest, viols, fn,
+                         schema_doc=SCHEMA_DOC, max_partitions=1)
+    assert run1.processed == ["0"]
+    assert committed_partitions(spark, manifest) == {"0"}
+
+    # resume: the committed partition is skipped, the rest complete
+    run2 = run_resumable(spark, input_df, "p", manifest, viols, fn,
+                         schema_doc=SCHEMA_DOC)
+    assert run2.processed == ["1", "2"]
+    assert run2.skipped == ["0"]
+
+    # a third run does nothing (idempotent)
+    run3 = run_resumable(spark, input_df, "p", manifest, viols, fn,
+                         schema_doc=SCHEMA_DOC)
+    assert run3.processed == []
+    assert sorted(run3.skipped) == ["0", "1", "2"]
+
+    # manifest metrics are consistent with planted violations
+    m = spark.read.parquet(manifest)
+    rows = {r["partition_value"]: r for r in m.collect()}
+    assert rows["2"]["invalid_rows"] == 100 and rows["0"]["invalid_rows"] == 0
+    v = spark.read.parquet(viols)
+    assert v.where("constraint_id = 'INSTANCE_NUMBER_MAXIMUM'").count() == 100
+
+
+def test_streaming_validation(spark, tmp_path):
+    from sdk_spark.streaming.validate_stream import streaming_violations
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, F.lit(999)).otherwise(F.col("id") % 50)
+         .cast("long").alias("v")).write.parquet(src)
+
+    stream = (spark.readStream.schema("id long, v long").parquet(src))
+    out = streaming_violations(stream, SCHEMA_DOC, ["id"])
+    q = (out.writeStream.format("memory").queryName("viol_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM viol_stream").collect()
+    assert len(got) == 10
+    assert all(r["constraint_id"] == "INSTANCE_NUMBER_MAXIMUM" for r in got)
+
+
+def test_windowed_verdicts_stream(spark, tmp_path):
+    from sdk_spark.streaming.validate_stream import windowed_verdicts
+
+    schema = dict(SCHEMA_DOC)
+    src = str(tmp_path / "src2")
+    spark.range(0, 60).select(
+        F.col("id"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=(F.col("id") % 3).cast("int"))).alias("ts"),
+        F.when(F.col("id") < 30, F.lit(999)).otherwise(F.lit(5))
+         .cast("long").alias("v")).write.parquet(src)
+
+    stream = spark.readStream.schema("id long, ts timestamp, v long").parquet(src)
+    out = windowed_verdicts(stream, schema, "ts", window="1 minute")
+    # complete mode: append-mode windows only emit once the watermark passes
+    # them, which never happens in a single availableNow batch
+    q = (out.writeStream.format("memory").queryName("verd_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT * FROM verd_stream").collect()
+    assert sum(r["rows"] for r in rows) == 60
+    assert any(not r["passed"] for r in rows)

@@ -1,0 +1,150 @@
+"""Unit tests: text analysis, dedup tiers, similarity search, table checks."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest to find a quiet place for sleeping")
+    rows = [
+        (0, base),
+        (1, base.replace("quiet", "silent")),          # near-dup of 0
+        (2, "Der Hund und die Katze sind nicht mit der Maus zu sehen und das ist gut"),
+        (3, "le chat et le chien sont dans la maison et les oiseaux pour une fois"),
+        (4, "completely different text about spark catalyst optimizer internals"),
+        (5, base.upper()),                              # exact dup modulo case
+        (6, base),                                      # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_and_quality(spark, docs):
+    from sdk_spark.operators.text import quality_features, quality_score
+
+    row = quality_features(docs).where("doc_id = 0").first()
+    assert row["n_tokens"] == len(row["text"].split())
+    assert row["n_chars_calc"] == len(row["text"])
+    assert row["stop_hits"] >= 4  # the/the/and/a/to/for...
+    q = quality_score(docs).select("doc_id", "quality_score").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in q)
+
+
+def test_lang_id(spark, docs):
+    from sdk_spark.operators.text import lang_id
+
+    got = {r["doc_id"]: r["pred_lang"]
+           for r in lang_id(docs).select("doc_id", "pred_lang").collect()}
+    assert got[0] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+
+
+def test_exact_duplicates(spark, docs):
+    from sdk_spark.operators.dedup import distinct_by_content, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    # doc 5 (case variant) and doc 6 (identical) normalize to doc 0's text
+    assert len(groups) == 1
+    assert sorted(groups[0]["ids"]) == [0, 5, 6]
+    kept = distinct_by_content(docs).select("doc_id").collect()
+    kept_ids = {r["doc_id"] for r in kept}
+    assert 0 in kept_ids and 5 not in kept_ids and 6 not in kept_ids
+    assert {1, 2, 3, 4} <= kept_ids
+
+
+def test_minhash_near_duplicates(spark, docs):
+    from sdk_spark.operators.dedup import near_duplicates_minhash
+
+    pairs = near_duplicates_minhash(docs, threshold=0.6).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found            # single-word mutation
+    assert (0, 6) in found            # identical
+    assert all(r["jaccard"] >= 0.6 for r in pairs)
+    assert not any(4 in p for p in found)  # unrelated doc never pairs
+
+
+def test_simhash_near_duplicates(spark, docs):
+    from sdk_spark.operators.dedup import simhash_candidates
+
+    cands = simhash_candidates(docs).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["hamming"] for r in cands}
+    assert by_pair.get((0, 6)) == 0   # identical text → identical simhash
+    assert by_pair.get((0, 1), 99) <= 6
+
+
+def test_cosine_topk_and_ann(spark):
+    import numpy as np
+
+    from sdk_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+    rng = np.random.RandomState(7)
+    dim = 16
+    vecs = rng.normal(size=(200, dim)).astype("float32")
+    # plant true near neighbors of vector 17 at ids 300..302
+    for j in range(3):
+        vecs = np.vstack([vecs, vecs[17] + rng.normal(scale=0.05, size=dim)
+                          .astype("float32")])
+    query = list(vecs[17].astype(float))
+    rows = [(i if i < 200 else 300 + (i - 200), [float(x) for x in v])
+            for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = cosine_topk(df, query, k=4).collect()
+    assert exact[0]["vec_id"] == 17 and exact[0]["score"] > 0.999
+    assert {r["vec_id"] for r in exact} == {17, 300, 301, 302}
+
+    ann = lsh_bucket_topk(df, query, k=4, n_planes=10, multiprobe=1).collect()
+    assert ann and ann[0]["vec_id"] == 17  # self must be in its own bucket
+    # planted near-neighbors land in the same/adjacent buckets
+    assert len({r["vec_id"] for r in ann} & {300, 301, 302}) >= 2
+
+
+def test_cosine_near_duplicates(spark):
+    from sdk_spark.operators.similarity import cosine_near_duplicates
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0, 0.0]),   # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = cosine_near_duplicates(df, threshold=0.95, n_planes=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_fk_orphans_planted(spark):
+    from sdk_spark.operators.table_checks import fk_orphans
+
+    fact = spark.createDataFrame([(1, 10), (2, 11), (3, 99)], "id long, fk long")
+    dim = spark.createDataFrame([(10,), (11,)], "pk long")
+    orphans = fk_orphans(fact, ["fk"], dim, ["pk"]).collect()
+    assert [r["id"] for r in orphans] == [3]
+
+
+def test_drift_detection(spark):
+    from sdk_spark.operators.table_checks import drift, quantile_sketch
+
+    a = spark.range(0, 10000).select((F.col("id") % 100).alias("x"))
+    b = spark.range(0, 10000).select((F.col("id") % 100 + 50).alias("x"))
+    sa = quantile_sketch(a, ["x"])
+    sb = quantile_sketch(b, ["x"])
+    same = drift(sa, sa)
+    moved = drift(sa, sb)
+    assert not same[0]["exceeded"]
+    assert moved[0]["exceeded"] and moved[0]["drift_score"] > 0.3
+
+
+def test_rolling_fingerprint_stability(spark, docs):
+    from sdk_spark.operators.text import document_fingerprints
+
+    fps = {r["doc_id"]: (r["fp_exact"], r["fp_rolling"])
+           for r in document_fingerprints(docs).collect()}
+    assert fps[0] == fps[6]           # identical docs: identical fingerprints
+    assert fps[0][0] == fps[5][0]     # case variant: same exact fp (normalized)
+    assert fps[0][0] != fps[4][0]
