@@ -154,6 +154,8 @@ class CompiledSchema:
         self.doc = doc
         self.extended = extended
         self.max_depth = max_depth
+        uri = doc.get("$schema", "") if isinstance(doc, dict) else ""
+        self.is_extended_meta = uri.endswith("/extended/v0/#")
         exts = detect_extensions(doc, extended)
         self.ctx = Ctx(
             validation="JSONStructureValidation" in exts,
@@ -329,6 +331,10 @@ class CompiledSchema:
             raise SchemaCompileError(f"nesting too deep at {path}")
         node = effective(self.doc, node, max_depth=self.max_depth)
         ctx = ctx.with_node(node)
+        # extended metaschema: any node-level $uses auto-enables all addins
+        # (reference: instance_validator.py:130-144)
+        if self.is_extended_meta and isinstance(node.get("$uses"), list):
+            ctx = Ctx(validation=True, conditionals=True)
         t = node.get("type")
         out: list[Constraint] = []
 
@@ -352,7 +358,16 @@ class CompiledSchema:
         else:
             raise SchemaCompileError(f"schema at {path} has no usable 'type'")
 
-        if ctx.conditionals:
+        # extended metaschema: conditional keywords on a node without its
+        # own $uses are an error, not silently evaluated
+        # (reference: instance_validator.py:619-625)
+        gate_failed = False
+        if self.is_extended_meta and any(k in node for k in CONDITIONAL_KEYWORDS):
+            if not isinstance(node.get("$uses"), list):
+                out.append(Constraint(E.INSTANCE_CONDITIONAL_FAILED, path,
+                                      F.lit(False), _render(col, dt)))
+                gate_failed = True
+        if ctx.conditionals and not gate_failed:
             out.extend(self._conditional_constraints(node, path, col, dt, ctx, depth))
         if "const" in node:
             out.append(Constraint(E.INSTANCE_CONST_MISMATCH, path,
@@ -687,20 +702,37 @@ class CompiledSchema:
         return out
 
     # .. conditional composition ....................................................
+    def _inherit_uses(self, sub: Any) -> Any:
+        """Conditional branches inherit the root document's $uses
+        (reference: instance_validator.py:736-745)."""
+        root_uses = self.doc.get("$uses") if isinstance(self.doc, dict) else None
+        if not root_uses or not isinstance(sub, dict):
+            return sub
+        merged = dict(sub)
+        have = list(merged.get("$uses", []))
+        for u in root_uses:
+            if u not in have:
+                have.append(u)
+        merged["$uses"] = have
+        return merged
+
     def _conditional_constraints(self, node, path, col, dt, ctx, depth):
         out: list[Constraint] = []
         val = _render(col, dt)
         if "allOf" in node:
             for i, sub in enumerate(node["allOf"]):
-                out.extend(self._node(sub, f"{path}/allOf[{i}]", col, dt, ctx,
+                out.extend(self._node(self._inherit_uses(sub),
+                                      f"{path}/allOf[{i}]", col, dt, ctx,
                                       depth + 1))
         if "anyOf" in node:
-            branch = [self._valid(s, col, dt, ctx, depth + 1) for s in node["anyOf"]]
+            branch = [self._valid(self._inherit_uses(s), col, dt, ctx, depth + 1)
+                      for s in node["anyOf"]]
             out.append(Constraint(E.INSTANCE_ANY_OF_NONE_MATCHED, path,
                                   _present(col, reduce(lambda a, b: a | b, branch)),
                                   val))
         if "oneOf" in node:
-            hits = [F.coalesce(self._valid(s, col, dt, ctx, depth + 1),
+            hits = [F.coalesce(self._valid(self._inherit_uses(s), col, dt,
+                                           ctx, depth + 1),
                                F.lit(False)).cast("int") for s in node["oneOf"]]
             total = reduce(lambda a, b: a + b, hits)
             out.append(Constraint(E.INSTANCE_ONE_OF_INVALID_COUNT, path,
