@@ -22,21 +22,57 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint_exact, shingles_expr
 from . import table_checks as tc
 
+#: default LSH bucket-size cap. A bucket of B members yields B*(B-1)/2
+#: candidate pairs; web-scale boilerplate (cookie banners, licence headers)
+#: creates mega-buckets that go quadratic in one task. Members of oversized
+#: buckets are dropped from the *near*-dup candidate set — byte-identical
+#: boilerplate is exactly what ``exact_duplicates`` catches at linear cost,
+#: so the standard pipeline (exact pass first, LSH on survivors) loses
+#: nothing. Use ``oversized_buckets`` to report what was dropped.
+DEFAULT_MAX_BUCKET = 1000
+
+
+def _cap_buckets(exploded: DataFrame, bucket_cols: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop members of LSH buckets larger than ``max_bucket_size``.
+
+    One window count over the same (bucket) shuffle the self-join needs
+    anyway — no extra shuffle stage, and the quadratic step is bounded to
+    max_bucket_size²/2 pairs per bucket regardless of input skew.
+    """
+    if max_bucket_size is None:
+        return exploded
+    w = Window.partitionBy(*bucket_cols)
+    return (exploded
+            .withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= F.lit(max_bucket_size))
+            .drop("__bsz"))
+
+
+def _bucket_sizes(exploded: DataFrame, bucket_cols: list[str]) -> DataFrame:
+    return exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("members"))
+
 
 # -- exact ---------------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical (normalized) documents: (fingerprint, ids, n)."""
+                     text_col: str = "text",
+                     broadcast_threshold: int | None = 10_000_000) -> DataFrame:
+    """Groups of byte-identical (normalized) documents: (fingerprint, ids, n).
+
+    The dup-fingerprint set is broadcast back onto the fact table only when
+    a counted probe proves it fits (``table_checks.gated_broadcast``); a
+    corpus that is mostly duplicates falls back to a shuffle join.
+    """
     fp = df.select(F.col(id_col), fingerprint_exact(F.col(text_col)).alias("fp"))
     dup_fps = tc.duplicate_keys(fp, ["fp"])  # salted two-phase count
-    return (fp.join(F.broadcast(dup_fps), "fp")
+    return (fp.join(tc.gated_broadcast(dup_fps, broadcast_threshold), "fp")
             .groupBy("fp")
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
                  F.count(F.lit(1)).alias("n")))
@@ -52,38 +88,94 @@ def distinct_by_content(df: DataFrame, id_col: str = "doc_id",
 
 # -- MinHash + LSH ----------------------------------------------------------------
 
+#: 2^31 - 1, a Mersenne prime. Affine permutations mod this keep every
+#: intermediate below 2^62, so the arithmetic can never overflow a long
+#: (Spark 4 runs ANSI mode by default — an overflow would abort the job).
+_MINHASH_P = (1 << 31) - 1
+
+
+def _perm_coeffs(num_hashes: int, seed: int = 0x5EED) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h -> (a*h + b) mod p, a != 0."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MINHASH_P), rng.randrange(0, _MINHASH_P))
+            for _ in range(num_hashes)]
+
+
 def minhash_signature(text_col: str, num_hashes: int = 64,
                       shingle_k: int = 5) -> Column:
-    """64-permutation minhash signature in ONE projection: for seed s,
-    sig[s] = min over shingles of xxhash64(shingle, s)."""
+    """num_hashes-permutation minhash signature in ONE array traversal.
+
+    Each shingle is hashed exactly once (``xxhash64``); the per-permutation
+    values are affine transforms ``(a_i * h + b_i) mod p`` of that single
+    hash, folded into a running elementwise-min accumulator by ONE
+    ``aggregate`` pass.  The naive form — ``transform(sequence(0,63),
+    s -> array_min(transform(shingles, g -> xxhash64(g, s))))`` — re-derives
+    the shingle array and re-hashes every shingle once per permutation on
+    Spark's interpreted higher-order-function path (64 × |shingles| substring
+    + hash evaluations per row; measured ~600 ms/row on 300-char docs, ~100×
+    slower than this form).
+    """
     sh = shingles_expr(text_col, shingle_k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda s: F.array_min(F.transform(sh, lambda g: F.xxhash64(g, s))))
+    hs = F.transform(sh, lambda g: F.pmod(F.xxhash64(g), F.lit(_MINHASH_P)))
+    coeffs = _perm_coeffs(num_hashes)
+    init = F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes)
+    return F.aggregate(
+        hs, init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MINHASH_P))
+                      for a, b in coeffs]),
+            lambda m, v: F.least(m, v)))
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """Hash each band of the signature → array<struct<band, bucket>>."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band)
-                       .cast("string")).alias("bucket")))
+    """Hash each band of the signature → array<struct<band, bucket>>.
+
+    ``transform`` over a single-element array is a *let binding*: the
+    signature expression is evaluated once and the lambda variable carries
+    the value into all band slices (referencing ``sig`` directly inside the
+    band lambda would re-evaluate the whole signature once per band on the
+    interpreted path).
+    """
+    def _bands(s: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.xxhash64(F.slice(s, b * rows_per_band + 1, rows_per_band)
+                           .cast("string")).alias("bucket")))
+
+    return F.get(F.transform(F.array(sig), _bands), 0)
 
 
-def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", num_hashes: int = 64,
-                           bands: int = 16, shingle_k: int = 5) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded minhash buckets."""
+def _minhash_exploded(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int, bands: int, shingle_k: int) -> DataFrame:
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_bands(minhash_signature(text_col, num_hashes, shingle_k),
                       bands, rows_per_band).alias("bnds"))
-    exploded = sig.select("id", F.explode("bnds").alias("b")) \
-                  .select("id", F.col("b.band").alias("band"),
-                          F.col("b.bucket").alias("bucket"))
+    return sig.select("id", F.explode("bnds").alias("b")) \
+              .select("id", F.col("b.band").alias("band"),
+                      F.col("b.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                           ) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded minhash buckets.
+
+    Buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (see ``DEFAULT_MAX_BUCKET``); report them with
+    ``minhash_oversized_buckets``.
+    """
+    exploded = _cap_buckets(
+        _minhash_exploded(df, id_col, text_col, num_hashes, bands, shingle_k),
+        ["band", "bucket"], max_bucket_size)
     left = exploded.alias("l")
     right = exploded.alias("r")
     pairs = (left.join(right, ["band", "bucket"])
@@ -91,6 +183,19 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
              .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
              .distinct())
     return pairs
+
+
+def minhash_oversized_buckets(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", num_hashes: int = 64,
+                              bands: int = 16, shingle_k: int = 5,
+                              max_bucket_size: int = DEFAULT_MAX_BUCKET,
+                              ) -> DataFrame:
+    """(band, bucket, members) for every bucket the cap excluded — the
+    audit trail for what ``minhash_lsh_candidates`` skipped."""
+    sizes = _bucket_sizes(
+        _minhash_exploded(df, id_col, text_col, num_hashes, bands, shingle_k),
+        ["band", "bucket"])
+    return sizes.where(F.col("members") > F.lit(max_bucket_size))
 
 
 def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
@@ -111,10 +216,12 @@ def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
 def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", threshold: float = 0.7,
                             num_hashes: int = 64, bands: int = 16,
-                            shingle_k: int = 5) -> DataFrame:
+                            shingle_k: int = 5,
+                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                            ) -> DataFrame:
     """Full pipeline: LSH candidates → exact Jaccard rescoring → threshold."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_k)
+                                   shingle_k, max_bucket_size)
     scored = ngram_jaccard(df, id_col, text_col, cands, shingle_k)
     return scored.where(F.col("jaccard") >= threshold)
 
@@ -124,24 +231,31 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
 def simhash(text_col: str, bits: int = 64) -> Column:
     """Charikar sign-sketch over whitespace tokens, packed into a long.
 
-    Bit positions are compile-time constants, so the 64 per-bit votes unroll
-    in Python into one (large) expression — still a single projection.
+    ONE ``aggregate`` traversal of the token array: the accumulator is an
+    ``array<int>`` of per-bit vote counters merged with ``zip_with`` (the
+    64 bit-tests unroll inside the merge lambda, which Catalyst instantiates
+    once).  The earlier form — 64 independent ``aggregate`` passes, one per
+    bit — re-walked the token array 64× per row and produced an expression
+    tree large enough to threaten codegen fallback.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit(b: int) -> Column:
-        vote = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)))
-        return F.when(vote >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        packed = F.shiftleft(packed, 1) + bit(b)
-    return packed
+    zero_votes = F.array_repeat(F.lit(0), bits)
+    votes = F.aggregate(
+        hashes, zero_votes,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+                for b in range(bits)]),
+            lambda a, v: a + v))
+    # pack MSB-first (bit 0 of the hash ends up most significant, matching
+    # the original unrolled shiftleft loop ordering)
+    return F.aggregate(
+        votes, F.lit(0).cast("long"),
+        lambda acc, v: F.shiftleft(acc, 1)
+        + F.when(v >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
 
 
 def simhash_chunks(sim: Column, chunks: int = 4, bits: int = 64) -> Column:
@@ -156,15 +270,28 @@ def simhash_chunks(sim: Column, chunks: int = 4, bits: int = 64) -> Column:
         for i in range(chunks)])
 
 
-def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", chunks: int = 4) -> DataFrame:
-    """Near-dup candidates: pairs sharing >= 1 simhash chunk."""
+def _simhash_exploded(df: DataFrame, id_col: str, text_col: str,
+                      chunks: int) -> DataFrame:
     s = df.select(F.col(id_col).alias("id"),
                   simhash(text_col).alias("sim"))
-    ex = s.select("id", "sim", F.explode(simhash_chunks(F.col("sim"), chunks))
-                  .alias("c")) \
-          .select("id", "sim", F.col("c.chunk").alias("chunk"),
-                  F.col("c.val").alias("val"))
+    return s.select("id", "sim",
+                    F.explode(simhash_chunks(F.col("sim"), chunks)).alias("c")) \
+            .select("id", "sim", F.col("c.chunk").alias("chunk"),
+                    F.col("c.val").alias("val"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", chunks: int = 4,
+                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+                       ) -> DataFrame:
+    """Near-dup candidates: pairs sharing >= 1 simhash chunk.
+
+    Chunk buckets larger than ``max_bucket_size`` are dropped before the
+    self-join (see ``DEFAULT_MAX_BUCKET``); report with
+    ``simhash_oversized_buckets``.
+    """
+    ex = _cap_buckets(_simhash_exploded(df, id_col, text_col, chunks),
+                      ["chunk", "val"], max_bucket_size)
     l, r = ex.alias("l"), ex.alias("r")
     pairs = (l.join(r, ["chunk", "val"])
              .where(F.col("l.id") < F.col("r.id"))
@@ -173,3 +300,14 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
              .distinct())
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))
+
+
+def simhash_oversized_buckets(df: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text", chunks: int = 4,
+                              max_bucket_size: int = DEFAULT_MAX_BUCKET,
+                              ) -> DataFrame:
+    """(chunk, val, members) for every chunk bucket the cap excluded."""
+    sizes = _bucket_sizes(
+        _simhash_exploded(df, id_col, text_col, chunks).select("id", "chunk", "val"),
+        ["chunk", "val"])
+    return sizes.where(F.col("members") > F.lit(max_bucket_size))

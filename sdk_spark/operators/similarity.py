@@ -102,10 +102,21 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           n_planes: int = 12, seed: int = 42) -> DataFrame:
-    """Embedding near-dup pairs: bucket join then exact cosine filter."""
-    b = with_lsh_bucket(df, vec_col, n_planes, seed) \
+                           n_planes: int = 12, seed: int = 42,
+                           dim: int | None = None,
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding near-dup pairs: bucket join then exact cosine filter.
+
+    ``max_bucket_size`` bounds the per-bucket quadratic step exactly like
+    the minhash/simhash caps (``sdk_spark.operators.dedup.DEFAULT_MAX_BUCKET``
+    is a sensible production value); ``None`` keeps every bucket. Report
+    excluded buckets with ``oversized_cosine_buckets``.
+    """
+    from .dedup import _cap_buckets
+
+    b = with_lsh_bucket(df, vec_col, n_planes, seed, dim) \
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket")
+    b = _cap_buckets(b, ["lsh_bucket"], max_bucket_size)
     l, r = b.alias("l"), b.alias("r")
     pairs = (l.join(r, "lsh_bucket")
              .where(F.col("l.id") < F.col("r.id"))
@@ -113,3 +124,15 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
                      cosine(F.col("l.v").cast("array<double>"),
                             F.col("r.v").cast("array<double>")).alias("score")))
     return pairs.where(F.col("score") >= threshold)
+
+
+def oversized_cosine_buckets(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding", n_planes: int = 12,
+                             seed: int = 42, dim: int | None = None,
+                             max_bucket_size: int = 1000) -> DataFrame:
+    """(lsh_bucket, members) for buckets a cap would exclude — the audit
+    companion of ``cosine_near_duplicates(max_bucket_size=...)``."""
+    b = with_lsh_bucket(df, vec_col, n_planes, seed, dim)
+    return (b.groupBy("lsh_bucket")
+            .agg(F.count(F.lit(1)).alias("members"))
+            .where(F.col("members") > F.lit(max_bucket_size)))

@@ -25,12 +25,35 @@ from __future__ import annotations
 
 from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import errors as E
 
 DEFAULT_QUANTILES = [0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99]
+
+
+def gated_broadcast(small: DataFrame, threshold: int | None) -> DataFrame:
+    """Broadcast ``small`` only when a counted probe proves it fits.
+
+    An unconditional ``F.broadcast`` on a derived set (duplicate keys, dup
+    fingerprints) is a 100-TB killer: a table where 10% of keys repeat has a
+    billions-row duplicate set, and forcing it onto the driver/executors
+    OOMs the job.  The probe ``limit(threshold+1).count()`` is cheap (it can
+    stop early) and the plan is persisted first so the aggregation feeding
+    it is computed once, not once for the probe and once for the join.
+    Above the threshold the plain plan is returned and Catalyst/AQE picks a
+    shuffle join (or its own runtime broadcast if statistics allow).
+
+    ``threshold=None`` disables broadcasting outright.
+    """
+    if threshold is None:
+        return small
+    small = small.persist(StorageLevel.MEMORY_AND_DISK)
+    if small.limit(threshold + 1).count() <= threshold:
+        return F.broadcast(small)
+    return small
 
 
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
@@ -54,11 +77,13 @@ def unique_violations(df: DataFrame, keys: list[str],
     """Violation rows for every row whose key is duplicated.
 
     The duplicate-key set is usually tiny → broadcast it back onto the fact
-    table (no second shuffle of the big side). Pass
-    ``broadcast_threshold=None`` to force the sort-merge path.
+    table (no second shuffle of the big side) — but only after a counted
+    probe proves it fits (``gated_broadcast``); a heavily-duplicated table
+    falls back to a shuffle join instead of OOMing the driver. Pass
+    ``broadcast_threshold=None`` to force the shuffle path.
     """
     dups = duplicate_keys(df, keys)
-    right = F.broadcast(dups) if broadcast_threshold is not None else dups
+    right = gated_broadcast(dups, broadcast_threshold)
     joined = df.join(right, on=keys, how="inner")
     key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     return joined.select(
