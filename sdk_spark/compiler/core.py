@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import errors as E
+from ..functions.regex_dialect import java_safe, python_compile, python_regex_match
 from ..rowcheck import RowChecker
 from ..schema.normalize import (
     SchemaCompileError,
@@ -103,6 +104,12 @@ class Constraint:
 class Ctx:
     validation: bool
     conditionals: bool
+    #: True while compiling inside a higher-order-function lambda (array
+    #: items, map values/keys, contains). Arrow/pandas fallback expressions
+    #: cannot reference HOF lambda variables, so python-dialect regexes in
+    #: these contexts must escalate to a SchemaCompileError (the auto plan
+    #: then routes the whole schema through the row kernel).
+    in_lambda: bool = False
 
     def with_node(self, node: dict) -> "Ctx":
         uses = node.get("$uses")
@@ -111,7 +118,11 @@ class Ctx:
         return Ctx(
             validation=self.validation or "JSONStructureValidation" in uses,
             conditionals=self.conditionals or "JSONStructureConditionalComposition" in uses,
+            in_lambda=self.in_lambda,
         )
+
+    def lambda_ctx(self) -> "Ctx":
+        return Ctx(self.validation, self.conditionals, True)
 
 
 def _present(col: Column, pred: Column) -> Column:
@@ -334,7 +345,7 @@ class CompiledSchema:
         # extended metaschema: any node-level $uses auto-enables all addins
         # (reference: instance_validator.py:130-144)
         if self.is_extended_meta and isinstance(node.get("$uses"), list):
-            ctx = Ctx(validation=True, conditionals=True)
+            ctx = Ctx(validation=True, conditionals=True, in_lambda=ctx.in_lambda)
         t = node.get("type")
         out: list[Constraint] = []
 
@@ -585,7 +596,8 @@ class CompiledSchema:
             if "contains" in node:
                 contains = node["contains"]
                 cnt = F.size(F.filter(
-                    col, lambda x: self._valid(contains, x, et, ctx, depth + 1)))
+                    col, lambda x: self._valid(contains, x, et,
+                                               ctx.lambda_ctx(), depth + 1)))
                 out.append(Constraint(E.INSTANCE_CONTAINS_NONE, path,
                                       _present(col, cnt > F.lit(0)), val))
                 if "minContains" in node:
@@ -600,7 +612,8 @@ class CompiledSchema:
 
     def _inner_codes(self, items: dict, et: T.DataType, ctx: Ctx,
                      depth: int) -> list[str]:
-        probe = self._node(items, "#", F.lit(None).cast(et), et, ctx, depth + 1)
+        probe = self._node(items, "#", F.lit(None).cast(et), et,
+                           ctx.lambda_ctx(), depth + 1)
         seen: list[str] = []
         for c in probe:
             if c.cid not in seen:
@@ -616,7 +629,8 @@ class CompiledSchema:
 
     def _code_ok(self, items: dict, x: Column, et: T.DataType, ctx: Ctx,
                  depth: int, cid: str) -> Column:
-        cons = [c for c in self._node(items, "#", x, et, ctx, depth + 1)
+        cons = [c for c in self._node(items, "#", x, et, ctx.lambda_ctx(),
+                                      depth + 1)
                 if c.cid == cid]
         if not cons:
             return F.lit(True)
@@ -645,9 +659,15 @@ class CompiledSchema:
             if isinstance(node.get("patternKeys"), dict):
                 for pat, sub in node["patternKeys"].items():
                     java_pat = pat
+                    if not java_safe(java_pat):
+                        raise SchemaCompileError(
+                            f"patternKeys regex {java_pat!r} is not Java-dialect"
+                            " safe; route through the row kernel")
                     matching = F.map_filter(col, lambda k, v: k.rlike(java_pat))
                     pred = F.forall(F.map_values(matching),
-                                    lambda v: self._valid(sub, v, vt, ctx, depth + 1))
+                                    lambda v: self._valid(sub, v, vt,
+                                                          ctx.lambda_ctx(),
+                                                          depth + 1))
                     out.append(Constraint(E.INSTANCE_MAP_KEY_INVALID, path,
                                           _present(col, pred), val))
             if isinstance(node.get("keyNames"), dict):
@@ -659,7 +679,8 @@ class CompiledSchema:
                 kn_ctx = ctx.with_node(kn)
                 pred = F.forall(F.map_keys(col),
                                 lambda k: self._valid(kn, k, T.StringType(),
-                                                      kn_ctx, depth + 1))
+                                                      kn_ctx.lambda_ctx(),
+                                                      depth + 1))
                 out.append(Constraint(E.INSTANCE_MAP_KEY_INVALID, path,
                                       _present(col, pred), val))
         return out
@@ -766,30 +787,50 @@ class CompiledSchema:
         if t in NUMERIC_TYPES:
             num = (col.try_cast("double") if isinstance(dt, T.StringType)
                    else col)
+            # string-backed integer types (int64/uint64/int128/uint128):
+            # a double cast collapses adjacent values past 2^53, silently
+            # missing/inventing bound violations near the 64/128-bit limits
+            # (reference compares exact parsed values:
+            # instance_validator.py:372-411). Compare digit strings instead.
+            int_backed = (isinstance(dt, T.StringType) and t in STRING_BACKED
+                          and t != "decimal")
+            dec_backed = isinstance(dt, T.StringType) and t == "decimal"
 
-            def bound(x):
-                return F.lit(float(x) if isinstance(x, str) else x)
+            def cmp(x, op: str) -> Column:
+                if int_backed:
+                    pred = _bigint_bound(col, x, op)
+                    if pred is not None:
+                        # malformed digits already fail NUMBER_FORMAT_INVALID
+                        return F.when(col.rlike(RX["int"]), pred).otherwise(F.lit(True))
+                if dec_backed:
+                    dec = col.try_cast("decimal(38,12)")
+                    b = F.lit(str(x)).cast("decimal(38,12)")
+                    return {"ge": dec >= b, "le": dec <= b,
+                            "gt": dec > b, "lt": dec < b}[op]
+                b = F.lit(float(x) if isinstance(x, str) else x)
+                return {"ge": num >= b, "le": num <= b,
+                        "gt": num > b, "lt": num < b}[op]
 
             if "minimum" in node:
-                add(E.INSTANCE_NUMBER_MINIMUM, num >= bound(node["minimum"]))
+                add(E.INSTANCE_NUMBER_MINIMUM, cmp(node["minimum"], "ge"))
             if "maximum" in node:
-                add(E.INSTANCE_NUMBER_MAXIMUM, num <= bound(node["maximum"]))
+                add(E.INSTANCE_NUMBER_MAXIMUM, cmp(node["maximum"], "le"))
             if "exclusiveMinimum" in node:
                 em = node["exclusiveMinimum"]
                 if isinstance(em, bool):
                     if em and "minimum" in node:
                         add(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM,
-                            num > bound(node["minimum"]))
+                            cmp(node["minimum"], "gt"))
                 else:
-                    add(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM, num > bound(em))
+                    add(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM, cmp(em, "gt"))
             if "exclusiveMaximum" in node:
                 em = node["exclusiveMaximum"]
                 if isinstance(em, bool):
                     if em and "maximum" in node:
                         add(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM,
-                            num < bound(node["maximum"]))
+                            cmp(node["maximum"], "lt"))
                 else:
-                    add(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, num < bound(em))
+                    add(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, cmp(em, "lt"))
             if "multipleOf" in node:
                 # quotient-rounding with 1e-10 tolerance, NOT modulo
                 # (reference: instance_validator.py:879-888)
@@ -804,8 +845,26 @@ class CompiledSchema:
                 add(E.INSTANCE_STRING_MAX_LENGTH,
                     F.length(col) <= F.lit(node["maxLength"]))
             if "pattern" in node:
-                # unanchored search semantics == Java find() == rlike
-                add(E.INSTANCE_STRING_PATTERN_MISMATCH, col.rlike(node["pattern"]))
+                pat = node["pattern"]
+                try:
+                    python_compile(pat)
+                except re.error as exc:
+                    raise SchemaCompileError(
+                        f"invalid regex {pat!r} at {path}: {exc}") from exc
+                if java_safe(pat):
+                    # unanchored search semantics == Java find() == rlike
+                    add(E.INSTANCE_STRING_PATTERN_MISMATCH, col.rlike(pat))
+                elif ctx.in_lambda:
+                    # pandas fallback can't see HOF lambda variables; the
+                    # auto plan reroutes the schema to the row kernel
+                    raise SchemaCompileError(
+                        f"python-dialect regex {pat!r} at {path} inside an"
+                        " array/map context cannot lower to Catalyst")
+                else:
+                    # Python-dialect construct: Arrow-batched re.search keeps
+                    # reference semantics without leaving the compiled plan
+                    add(E.INSTANCE_STRING_PATTERN_MISMATCH,
+                        python_regex_match(col, pat))
             if "format" in node and node["format"] in RX:
                 add(E.INSTANCE_FORMAT_INVALID, col.rlike(RX[node["format"]]))
         return out
@@ -865,6 +924,63 @@ def _dtype_can_exceed(dt: T.DataType, lo: int, hi: int) -> bool:
     }
     dlo, dhi = limits.get(type(dt), (float("-inf"), float("inf")))
     return dlo < lo or dhi > hi
+
+
+def _as_exact_int_bound(x, op: str) -> int | None:
+    """Reduce a schema bound to an exact integer bound for integer-valued
+    columns: ``v >= x ⟺ v >= ceil(x)``, ``v > x ⟺ v >= floor(x)+1``,
+    ``v <= x ⟺ v <= floor(x)``, ``v < x ⟺ v <= ceil(x)-1`` (v integral).
+    Returns None when x isn't numeric."""
+    import math
+    from fractions import Fraction
+
+    try:
+        frac = Fraction(str(x)) if isinstance(x, str) else Fraction(x)
+    except (ValueError, ZeroDivisionError):
+        return None
+    if op in ("ge", "lt"):
+        return math.ceil(frac)
+    return math.floor(frac)
+
+
+def _bigint_bound(col: Column, x, op: str) -> Column | None:
+    """Exact bound predicate for integers carried as digit strings; None
+    when the bound can't be reduced to an exact integer comparison."""
+    b = _as_exact_int_bound(x, op)
+    if b is None:
+        return None
+    if op == "ge":
+        return ~_bigint_lt(col, b)
+    if op == "gt":
+        return ~_bigint_lt(col, b + 1)
+    if op == "le":
+        return _bigint_lt(col, b + 1)
+    # op == "lt": v < x ⟺ v <= ceil(x)-1 ⟺ v < ceil(x)  (b = ceil(x))
+    return _bigint_lt(col, b)
+
+
+def _bigint_lt(col: Column, b: int) -> Column:
+    """col (canonical digit string) < b, exact at arbitrary precision.
+
+    Same (sign, digit-count, lexicographic) scheme as ``_bigint_in_range``."""
+    digits = F.regexp_replace(col, r"^[+-]", "")
+    digits = F.regexp_replace(digits, r"^0+(?=\d)", "")
+    neg = col.startswith("-") & (digits != F.lit("0"))
+    bd = str(abs(b))
+
+    def lt_mag(a: Column) -> Column:  # |a| < |b|
+        return (F.length(a) < F.lit(len(bd))) | (
+            (F.length(a) == F.lit(len(bd))) & (a < F.lit(bd)))
+
+    def gt_mag(a: Column) -> Column:  # |a| > |b|
+        return (F.length(a) > F.lit(len(bd))) | (
+            (F.length(a) == F.lit(len(bd))) & (a > F.lit(bd)))
+
+    if b > 0:
+        return neg | lt_mag(digits)
+    if b == 0:
+        return neg
+    return neg & gt_mag(digits)
 
 
 def _bigint_in_range(col: Column, lo: str, hi: str) -> Column:

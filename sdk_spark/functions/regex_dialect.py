@@ -1,0 +1,109 @@
+"""Java↔Python regex dialect guard for `pattern` lowering.
+
+The reference validator evaluates ``pattern`` with Python ``re.search``
+(reference: python/src/json_structure/instance_validator.py:904-910).
+Spark's ``rlike`` uses ``java.util.regex`` — a different dialect: Python
+named groups ``(?P<x>)``, group backrefs ``(?P=x)``, conditional groups
+``(?(1)...)`` either fail to compile mid-job on the executors or silently
+change meaning, and ``\\Z`` anchors one position earlier in Java than in
+Python.  ``java_safe`` decides AT COMPILE TIME whether a pattern may be
+handed to ``rlike`` with reference semantics; callers route unsafe patterns
+to the Arrow-batched Python fallback (``python_regex_match``) instead.
+"""
+
+import re
+
+import pandas as pd
+
+# Construct prefixes that exist in Python `re` but not (or not with the
+# same meaning) in java.util.regex. Scanned outside character classes with
+# escape tracking, not naive substring search.
+_PY_ONLY_GROUPS = ("(?P<", "(?P=", "(?(")
+# Inline flags Java lacks: (?a) ASCII, (?L) locale, (?u) differs subtly but
+# Java accepts it; reject the two that Java rejects outright.
+_PY_ONLY_FLAGS = ("a", "L")
+
+
+def _scan_tokens(pattern: str):
+    """Yield (index, char, escaped, in_class) for each char of the pattern."""
+    escaped = False
+    in_class = False
+    for i, ch in enumerate(pattern):
+        yield i, ch, escaped, in_class
+        if escaped:
+            escaped = False
+        elif ch == "\\":
+            escaped = True
+        elif ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+
+
+def python_compile(pattern: str) -> "re.Pattern":
+    """Compile under the reference dialect; raises ``re.error`` if invalid."""
+    return re.compile(pattern)
+
+
+def java_safe(pattern: str) -> bool:
+    """True when handing ``pattern`` to ``rlike`` preserves Python-`re`
+    semantics for the search() use the reference makes of it.
+
+    Conservative: a False only costs one Arrow-batched fallback expression;
+    a wrong True silently diverges from the reference on the executors.
+    """
+    try:
+        python_compile(pattern)
+    except re.error:
+        return False  # caller turns this into a schema compile error
+    for i, ch, escaped, in_class in _scan_tokens(pattern):
+        if escaped and not in_class:
+            # \Z: Python = absolute end; Java \Z = before final terminator
+            if ch == "Z":
+                return False
+        if ch == "(" and not escaped and not in_class:
+            rest = pattern[i:]
+            if any(rest.startswith(g) for g in _PY_ONLY_GROUPS):
+                return False
+            m = re.match(r"\(\?([aiLmsux]+)[):]", rest)
+            if m and any(f in m.group(1) for f in _PY_ONLY_FLAGS):
+                return False
+    # group backreferences \1..\9: Java supports them, but Python and Java
+    # disagree on forward/nested-ref edge cases; keep them on the Python path
+    for i, ch, escaped, in_class in _scan_tokens(pattern):
+        if escaped and ch.isdigit() and not in_class:
+            return False
+    # final gate: it must actually compile under java.util.regex when a JVM
+    # is reachable (an executor-side PatternSyntaxException kills the job)
+    return _java_compiles(pattern)
+
+
+def _java_compiles(pattern: str) -> bool:
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return True  # no JVM to ask; marker scan above is the gate
+        spark._jvm.java.util.regex.Pattern.compile(pattern)
+        return True
+    except Exception:
+        return False
+
+
+def python_regex_match(col, pattern: str):
+    """Arrow-batched unanchored Python-`re` search as a boolean Column.
+
+    Used only for the (rare) Python-dialect patterns ``java_safe`` rejects;
+    everything else stays JVM-side in ``rlike``. NULL input → NULL (the
+    compiler's ``_present`` wrapper supplies absent-is-ok semantics).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _search(s: pd.Series) -> pd.Series:
+        rx = re.compile(pattern)
+        return s.map(lambda x: None if x is None
+                     else rx.search(x) is not None)
+
+    return _search(col)

@@ -29,8 +29,11 @@ def validate_json_column(df: DataFrame, json_col: str, schema: dict,
     surface as INSTANCE_TYPE_MISMATCH at path '#'.
     """
     key_cols = key_cols or []
+    # field order must follow key_cols (row tuples are built in that order;
+    # schema built in DataFrame order would mislabel reordered keys)
+    by_name = {f.name: f for f in df.schema.fields}
     out_schema = T.StructType(
-        [f for f in df.schema.fields if f.name in key_cols]
+        [by_name[k] for k in key_cols]
         + [T.StructField("constraint_id", T.StringType(), True),
            T.StructField("path", T.StringType(), True),
            T.StructField("value", T.StringType(), True)])
@@ -46,6 +49,9 @@ def validate_json_column(df: DataFrame, json_col: str, schema: dict,
             for tup in pdf[names].itertuples(index=False):
                 *keys, text = tup
                 if text is None:
+                    # same semantic as json_verdicts: a NULL document is a
+                    # type mismatch, not silently valid
+                    rows.append((*keys, "INSTANCE_TYPE_MISMATCH", "#", None))
                     continue
                 try:
                     value = json.loads(text)

@@ -383,44 +383,51 @@ class RowChecker:
             self._map_addins(value, schema, path, out, depth)
 
     def _numeric_addins(self, value, schema, path, out) -> None:
+        # string-backed wide numerics (int64/uint64/int128/uint128/decimal)
+        # carry digit strings; compare EXACT coerced values (int / Decimal),
+        # never via float — doubles collapse adjacent values past 2^53
+        # (reference parses then compares raw: instance_validator.py:372-411)
+        v = _as_exact_number(value)
+        if v is None:
+            return  # malformed digits: the type handler already reported
+
         def cmp_fail(kw, code, op):
             if kw in schema:
+                m = _as_exact_number(schema[kw])
                 try:
-                    if op(value, schema[kw]):
+                    if m is None or op(v, m):
                         out.append(Finding(code, path, value))
                 except TypeError:
                     out.append(Finding(code, path, value))
 
-        cmp_fail("minimum", E.INSTANCE_NUMBER_MINIMUM, lambda v, m: v < m)
-        cmp_fail("maximum", E.INSTANCE_NUMBER_MAXIMUM, lambda v, m: v > m)
+        cmp_fail("minimum", E.INSTANCE_NUMBER_MINIMUM, lambda a, m: a < m)
+        cmp_fail("maximum", E.INSTANCE_NUMBER_MAXIMUM, lambda a, m: a > m)
         if "exclusiveMinimum" in schema:
             em = schema["exclusiveMinimum"]
-            try:
-                if isinstance(em, bool):
-                    if em and value <= schema.get("minimum", float("-inf")):
-                        out.append(Finding(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM, path, value))
-                elif value <= em:
-                    out.append(Finding(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM, path, value))
-            except TypeError:
-                out.append(Finding(E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM, path, value))
+            if isinstance(em, bool):
+                if em and "minimum" in schema:
+                    cmp_fail("minimum", E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM,
+                             lambda a, m: a <= m)
+            else:
+                cmp_fail("exclusiveMinimum", E.INSTANCE_NUMBER_EXCLUSIVE_MINIMUM,
+                         lambda a, m: a <= m)
         if "exclusiveMaximum" in schema:
             em = schema["exclusiveMaximum"]
-            try:
-                if isinstance(em, bool):
-                    if em and value >= schema.get("maximum", float("inf")):
-                        out.append(Finding(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, path, value))
-                elif value >= em:
-                    out.append(Finding(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, path, value))
-            except TypeError:
-                out.append(Finding(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, path, value))
+            if isinstance(em, bool):
+                if em and "maximum" in schema:
+                    cmp_fail("maximum", E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM,
+                             lambda a, m: a >= m)
+            else:
+                cmp_fail("exclusiveMaximum", E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM,
+                         lambda a, m: a >= m)
         if "multipleOf" in schema:
             # quotient-rounding tolerance, NOT modulo
             # (reference: instance_validator.py:879-888)
             try:
-                q = value / schema["multipleOf"]
+                q = float(v) / float(_as_exact_number(schema["multipleOf"]))
                 if abs(q - round(q)) > 1e-10:
                     out.append(Finding(E.INSTANCE_NUMBER_MULTIPLE_OF, path, value))
-            except (TypeError, ZeroDivisionError):
+            except (TypeError, ValueError, ZeroDivisionError, OverflowError):
                 out.append(Finding(E.INSTANCE_NUMBER_MULTIPLE_OF, path, value))
 
     def _string_addins(self, value, schema, path, out) -> None:
@@ -576,6 +583,28 @@ class RowChecker:
                                            f"add-in property '{k}' conflicts"))
                     merged["properties"][k] = v
         return merged
+
+
+def _as_exact_number(x):
+    """Coerce a JSON value (native number or digit string) to an exactly
+    comparable Python number; None when not numeric. int/Decimal/float
+    cross-compare exactly in Python — no double rounding."""
+    if isinstance(x, bool):
+        return None
+    if isinstance(x, (int, float)):
+        return x
+    if isinstance(x, str):
+        import decimal
+
+        try:
+            return int(x)
+        except ValueError:
+            pass
+        try:
+            return decimal.Decimal(x)
+        except decimal.InvalidOperation:
+            return None
+    return None
 
 
 # -- per-type handlers --------------------------------------------------------

@@ -103,6 +103,10 @@ class SchemaChecker:
         self.errors, self.warnings = [], []
         self.doc = doc
         self._extends_stack = set()
+        # reset per document: a checker reused across documents must not
+        # leak extension enablement from an earlier $uses into a later
+        # document that never enabled the extension
+        self.enabled = set()
         if not isinstance(doc, dict):
             self._err("Schema document root must be a JSON object.", "#",
                       E.SCHEMA_INVALID_TYPE)

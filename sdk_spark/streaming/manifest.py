@@ -51,13 +51,23 @@ def schema_fingerprint(schema_doc: dict) -> str:
         json.dumps(schema_doc, sort_keys=True).encode()).hexdigest()[:16]
 
 
-def committed_partitions(spark: SparkSession, manifest_path: str) -> set[str]:
+def committed_partitions(spark: SparkSession, manifest_path: str,
+                         fingerprint: str | None = None,
+                         input_path: str | None = None) -> set[str]:
+    """Partitions already validated — scoped to the current schema
+    fingerprint (and optionally input path) so a resume after a schema or
+    input change re-validates instead of silently skipping partitions
+    committed under the old schema."""
     try:
         m = spark.read.parquet(manifest_path)
     except Exception:
         return set()
-    rows = (m.where(F.col("status") == "committed")
-             .select("partition_value").distinct().collect())
+    cond = F.col("status") == "committed"
+    if fingerprint is not None:
+        cond = cond & (F.col("schema_fingerprint") == F.lit(fingerprint))
+    if input_path is not None:
+        cond = cond & (F.col("input_path") == F.lit(input_path))
+    rows = m.where(cond).select("partition_value").distinct().collect()
     return {r[0] for r in rows}
 
 
@@ -85,13 +95,13 @@ def run_resumable(
     metrics has rows/valid_rows/invalid_rows/violation_count.
     """
     run_id = str(uuid.uuid4())
-    done = committed_partitions(spark, manifest_path)
+    fp = schema_fingerprint(schema_doc) if schema_doc else ""
+    done = committed_partitions(spark, manifest_path, fingerprint=fp)
     all_parts = [r[0] for r in (input_df.select(partition_col)
                                 .distinct().orderBy(partition_col).collect())]
     todo = [p for p in all_parts if str(p) not in done]
     if max_partitions is not None:
         todo = todo[:max_partitions]
-    fp = schema_fingerprint(schema_doc) if schema_doc else ""
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     processed: list[str] = []

@@ -1,0 +1,212 @@
+"""Regex-dialect safety and wide-numeric bound precision (Catalyst path).
+
+Round-2 hardening: (1) Python-only regex constructs must NOT reach rlike —
+they either lower to the Arrow-batched re.search fallback inside the
+compiled plan or, in array/map lambda contexts, reroute the schema to the
+row kernel; (2) minimum/maximum on string-backed int64/uint64/int128 must
+compare exactly past 2^53 (double casts collapse adjacent values there).
+Differential oracle: the reference validator's own semantics
+(reference: instance_validator.py:904-910 re.search; :372-411 exact ints).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sdk_spark.compiler.core import CompiledSchema, violation_rows
+from sdk_spark.functions.regex_dialect import java_safe
+from sdk_spark.plans.auto import validate_auto
+from sdk_spark.schema.normalize import SchemaCompileError
+
+META = "https://json-structure.org/meta/extended/v0/#"
+
+
+def _schema(props, required=None):
+    return {
+        "$schema": META, "$id": "https://t.local/x", "name": "X",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object", "properties": props,
+        **({"required": required} if required else {}),
+    }
+
+
+# -- dialect classification ---------------------------------------------------
+
+@pytest.mark.parametrize("pat", [
+    r"^(?P<word>\w+)$",        # named group
+    r"(?P<a>x)(?P=a)",         # named backref
+    r"foo\Z",                  # \Z anchors differently in Java
+    r"(x)\1",                  # numeric backref: keep on Python path
+    r"(?a)\w+",                # Python-only inline flag
+    r"[invalid",               # doesn't compile anywhere
+])
+def test_python_only_patterns_rejected(pat):
+    assert not java_safe(pat)
+
+
+@pytest.mark.parametrize("pat", [
+    r"^(red|blue) ",
+    r"\d{3}-\d{4}",
+    r"(?i)hello",
+    r"^[A-Z][a-z]*\.$",
+    r"a+b*c?",
+    r"\\Z",                    # escaped backslash + literal Z, fine
+])
+def test_java_safe_patterns_accepted(pat):
+    assert java_safe(pat)
+
+
+# -- Catalyst-path behavior ----------------------------------------------------
+
+def test_python_regex_falls_back_in_plan(spark):
+    """Named-group pattern validates through the COMPILED plan (Arrow
+    sub-expression), matching Python re.search semantics exactly."""
+    pat = r"^(?P<code>[A-Z]{2})-(?P=code)$"
+    rx = re.compile(pat)
+    values = ["AB-AB", "AB-CD", "xy-xy", None, "AB-AB extra"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "rid long, s string")
+    plan = CompiledSchema(_schema({"s": {"type": "string", "pattern": pat}}),
+                          extended=True)
+    validated = plan.validate(df)
+    got = {r["rid"]: r["valid"] for r in validated.collect()}
+    for i, v in enumerate(values):
+        expected = v is None or rx.search(v) is not None
+        assert got[i] == expected, (i, v)
+
+
+def test_pattern_with_inline_flags_catalyst(spark):
+    """(?i)-style inline flags are Java-compatible and stay on rlike,
+    with unanchored-search semantics identical to the reference."""
+    pat = r"(?i)^item-[a-f]+$"
+    rx = re.compile(pat)
+    values = ["ITEM-ABC", "item-abc", "item-xyz", "prefix item-abc"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "rid long, s string")
+    plan = CompiledSchema(_schema({"s": {"type": "string", "pattern": pat}}),
+                          extended=True)
+    # proves it lowered to rlike, not the Arrow fallback
+    assert java_safe(pat)
+    got = {r["rid"]: r["valid"] for r in plan.validate(df).collect()}
+    for i, v in enumerate(values):
+        assert got[i] == (rx.search(v) is not None), (i, v)
+
+
+def test_python_regex_in_array_items_reroutes_to_kernel(spark):
+    """HOF lambda contexts can't host the Arrow fallback: validate_auto
+    must fall back to the row kernel, same violations either way."""
+    schema = _schema({"tags": {
+        "type": "array",
+        "items": {"type": "string", "pattern": r"^(?P<t>x+)$"},
+    }})
+    with pytest.raises(SchemaCompileError):
+        CompiledSchema(schema, extended=True).validate(
+            spark.createDataFrame([(["xx"],)], "tags array<string>"))
+    df = spark.createDataFrame([(1, ["xx", "xxx"]), (2, ["xx", "y"])],
+                               "rid long, tags array<string>")
+    viol, path = validate_auto(df, schema, key_cols=["rid"])
+    assert path == "arrow"
+    bad = {r["rid"] for r in viol.collect()}
+    assert bad == {2}
+
+
+def test_invalid_regex_is_compile_error(spark):
+    schema = _schema({"s": {"type": "string", "pattern": "[unclosed"}})
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(SchemaCompileError):
+        CompiledSchema(schema, extended=True).validate(df)
+
+
+# -- wide-numeric precision ------------------------------------------------------
+
+def test_int64_bounds_exact_past_2_53(spark):
+    """Adjacent int64 values near the bound must not collapse (a double
+    compare maps 2^53+1 and 2^53 to the same value)."""
+    lo, hi = 2**53, 2**62
+    schema = _schema({"v": {"type": "int64",
+                            "minimum": lo, "maximum": hi}})
+    values = [lo - 1, lo, lo + 1, hi - 1, hi, hi + 1,
+              2**63 - 1, -(2**53) - 1]
+    df = spark.createDataFrame([(i, str(v)) for i, v in enumerate(values)],
+                               "rid long, v string")
+    validated = CompiledSchema(schema, extended=True).validate(df)
+    got = {r["rid"]: r["valid"] for r in validated.collect()}
+    for i, v in enumerate(values):
+        # int64 range violation also invalidates 2^63-1? no: in range.
+        expected = lo <= v <= hi
+        assert got[i] == expected, (i, v, got[i])
+
+
+def test_int128_exclusive_bounds_exact(spark):
+    big = 170141183460469231731687303715884105727  # int128 max
+    schema = _schema({"v": {"type": "int128",
+                            "exclusiveMinimum": -big, "exclusiveMaximum": big}})
+    values = [-big, -big + 1, 0, big - 1, big]
+    df = spark.createDataFrame([(i, str(v)) for i, v in enumerate(values)],
+                               "rid long, v string")
+    validated = CompiledSchema(schema, extended=True).validate(df)
+    got = {r["rid"]: r["valid"] for r in validated.collect()}
+    for i, v in enumerate(values):
+        assert got[i] == (-big < v < big), (i, v)
+
+
+def test_uint64_max_boundary(spark):
+    umax = 2**64 - 1
+    schema = _schema({"v": {"type": "uint64", "minimum": 1,
+                            "maximum": umax - 1}})
+    values = [0, 1, umax - 1, umax]
+    df = spark.createDataFrame([(i, str(v)) for i, v in enumerate(values)],
+                               "rid long, v string")
+    validated = CompiledSchema(schema, extended=True).validate(df)
+    viol = violation_rows(validated, ["rid"]).collect()
+    by_rid = {}
+    for r in viol:
+        by_rid.setdefault(r["rid"], set()).add(r["constraint_id"])
+    assert "INSTANCE_NUMBER_MINIMUM" in by_rid[0]
+    assert 1 not in by_rid and 2 not in by_rid
+    assert "INSTANCE_NUMBER_MAXIMUM" in by_rid[3]
+
+
+def test_fractional_bound_on_int_type(spark):
+    """Non-integer bound on an integer type reduces exactly via ceil/floor."""
+    schema = _schema({"v": {"type": "int64", "minimum": 0.5, "maximum": 10.5}})
+    values = [0, 1, 10, 11]
+    df = spark.createDataFrame([(i, str(v)) for i, v in enumerate(values)],
+                               "rid long, v string")
+    got = {r["rid"]: r["valid"] for r in
+           CompiledSchema(schema, extended=True).validate(df).collect()}
+    assert got == {0: False, 1: True, 2: True, 3: False}
+
+
+def test_kernel_exact_bounds_match_catalyst():
+    """Row kernel and Catalyst path agree on wide-numeric bounds past 2^53
+    (the kernel used to flag every string-backed compare via TypeError)."""
+    from sdk_spark.rowcheck import RowChecker
+
+    schema = _schema({"size": {"type": "int64",
+                               "minimum": "9007199254740993",
+                               "maximum": "9223372036854775806"}})
+    rc = RowChecker(schema, extended=True)
+    assert rc.check({"size": "9007199254740993"}) == []
+    assert [f.code for f in rc.check({"size": "9007199254740992"})] \
+        == ["INSTANCE_NUMBER_MINIMUM"]
+    assert [f.code for f in rc.check({"size": "9223372036854775807"})] \
+        == ["INSTANCE_NUMBER_MAXIMUM"]
+    assert [f.code for f in rc.check({"size": "abc"})] \
+        == ["INSTANCE_NUMBER_FORMAT_INVALID"]
+
+
+def test_decimal_string_backed_bounds(spark):
+    schema = _schema({"v": {"type": "decimal", "minimum": "0.1",
+                            "maximum": "99999999999999999999.5"}})
+    values = ["0.05", "0.1", "99999999999999999999.4",
+              "99999999999999999999.6"]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)],
+                               "rid long, v string")
+    got = {r["rid"]: r["valid"] for r in
+           CompiledSchema(schema, extended=True).validate(df).collect()}
+    assert got == {0: False, 1: True, 2: True, 3: False}
