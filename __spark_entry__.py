@@ -158,9 +158,13 @@ def q_unique_violation_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """referential integrity via broadcast left-anti join (SURVEY §2.8)."""
+    """referential integrity via broadcast left-anti join (SURVEY §2.8).
+
+    The dimension is filtered (c_custkey % 7 != 0) so real orphans exist —
+    a 0-rows-both-sides green would prove nothing about the anti-join."""
     orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
+    customer = _t(spark, sf_dir, "customer") \
+        .where(F.col("c_custkey") % 7 != 0)
     return (tc.fk_violations(orders, ["o_custkey"], customer, ["c_custkey"],
                              key_cols=["o_orderkey"])
             .select("o_orderkey", "constraint_id"))
@@ -264,12 +268,16 @@ def q_exact_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates → exact Jaccard rescoring (no SQL oracle:
-    xxhash64-based; correctness covered by planted-pair unit tests)."""
+    """MinHash-LSH candidates → exact Jaccard rescoring.
+
+    Oracled against a full O(n²) shingle-Jaccard in DuckDB: 64 bands × 2
+    rows make the per-pair miss probability at J >= 0.5 about (3/4)^64 ≈
+    1e-8, so the banded pipeline returns exactly the brute-force pair set."""
     from sdk_spark.operators.dedup import near_duplicates_minhash
 
     docs = _t(spark, sf_dir, "documents")
-    return near_duplicates_minhash(docs, threshold=0.5) \
+    return near_duplicates_minhash(docs, threshold=0.5,
+                                   num_hashes=128, bands=64) \
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
@@ -283,28 +291,82 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", "hamming"))
 
 
+EMB_DIM = 64  # TESTDATA embeddings are 64-d at every sf (no driver .first())
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """brute-force cosine top-k over the embeddings table."""
     from sdk_spark.operators.similarity import cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    query = [1.0] + [0.0] * (dim - 1)
+    query = [1.0] + [0.0] * (EMB_DIM - 1)
     return cosine_topk(emb, query, k=10).select(
         "vec_id",
         F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
 
 
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (scale path; rows-only check + recall test)."""
+    """hyperplane-LSH ANN top-k (scale path; rows-only check + recall test —
+    random hyperplanes have no SQL twin)."""
     from sdk_spark.operators.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    query = [1.0] + [0.0] * (dim - 1)
+    query = [1.0] + [0.0] * (EMB_DIM - 1)
     return lsh_bucket_topk(emb, query, k=10).select(
         "vec_id",
         F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+
+
+def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-lite ANN: sign-quadrant coarse cell probe + exact rescoring —
+    deterministic quantizer, so brute-force-in-cell is an exact oracle."""
+    from sdk_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = [1.0] + [0.0] * (EMB_DIM - 1)
+    return ivf_topk(emb, query, k=10, nbits=4).select(
+        "vec_id",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+
+
+def q_bigint_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int64 bounds past 2^53 via exact digit-string comparison (round-2
+    precision fix): a double compare collapses adjacent values here, so a
+    hash-exact match against DuckDB BIGINT arithmetic proves exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_orderkey") * F.lit(8796093022208) + F.col("l_linenumber"))
+        .cast("string").alias("v"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/wide", "name": "Wide",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {"v": {"type": "int64",
+                             "minimum": "26388279066624003",
+                             "maximum": "105553116266496005"}},
+    }
+    validated = CompiledSchema(schema, extended=True).validate(wide)
+    return (violation_rows(validated, ["l_orderkey", "l_linenumber"])
+            .select("l_orderkey", "l_linenumber", "constraint_id"))
+
+
+def q_pattern_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-dialect regex (named group) — java_safe() rejects it, so the
+    compiled plan hosts an Arrow-batched re.search; DuckDB's RE2 supports
+    (?P<...>) natively and acts as the oracle."""
+    part = _t(spark, sf_dir, "part")
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/part-dialect",
+        "name": "PartDialect",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {"p_name": {"type": "string",
+                                  "pattern": "(?P<c>^(red|blue) )"}},
+    }
+    validated = CompiledSchema(schema, extended=True).validate(part)
+    return (violation_rows(validated, ["p_partkey"])
+            .select("p_partkey", "constraint_id", "value"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -329,6 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_ann": q_embedding_ann,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "bigint_precision": q_bigint_precision,
+        "pattern_dialect": q_pattern_dialect,
     }
 
 
@@ -389,7 +454,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, 'ENGINE_FK_ORPHAN' AS constraint_id
             FROM orders
             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
-                                    WHERE c_custkey IS NOT NULL)
+                                    WHERE c_custkey IS NOT NULL
+                                      AND c_custkey % 7 != 0)
         """,
         "column_stats": """
             SELECT 'l_orderkey' AS column, count(*) AS rows,
@@ -497,8 +563,55 @@ def oracle_sql() -> dict[str, str]:
                      vec_id
             LIMIT 10
         """,
-        # minhash_near_dups / simhash_near_dups / embedding_ann: xxhash64- or
-        # seeded-hyperplane-based → no SQL twin; rows-only check + unit tests
+        "minhash_near_dups": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+        """,
+        "embedding_ann_ivf": """
+            SELECT vec_id,
+                   CAST(round(list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       list_transform(range(1, len(embedding) + 1),
+                                      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)
+                   ) * 1e6) AS BIGINT) AS score_e6
+            FROM embeddings
+            WHERE embedding[1] >= 0 AND embedding[2] >= 0
+              AND embedding[3] >= 0 AND embedding[4] >= 0
+            ORDER BY list_cosine_similarity(
+                       embedding::DOUBLE[],
+                       list_transform(range(1, len(embedding) + 1),
+                                      i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+        "bigint_precision": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN v < 26388279066624003 THEN 'INSTANCE_NUMBER_MINIMUM'
+                        ELSE 'INSTANCE_NUMBER_MAXIMUM' END AS constraint_id
+            FROM (SELECT l_orderkey, l_linenumber,
+                         l_orderkey * 8796093022208 + l_linenumber AS v
+                  FROM lineitem)
+            WHERE v < 26388279066624003 OR v > 105553116266496005
+        """,
+        "pattern_dialect": """
+            SELECT p_partkey, 'INSTANCE_STRING_PATTERN_MISMATCH' AS constraint_id,
+                   p_name AS value
+            FROM part
+            WHERE p_name IS NOT NULL
+              AND NOT regexp_matches(p_name, '(?P<c>^(red|blue) )')
+        """,
+        # simhash_near_dups / embedding_ann: xxhash64- or seeded-hyperplane-
+        # based → no SQL twin; rows-only check + planted-pair/recall unit tests
     }
 
 

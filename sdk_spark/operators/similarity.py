@@ -100,6 +100,36 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
+def ivf_bucket(vec_col: Column, nbits: int = 4) -> Column:
+    """Deterministic coarse cell id: sign bits of the first ``nbits``
+    components (quadrant partitioning — an IVF-lite quantizer that needs no
+    trained centroids, so an exact SQL twin exists for differential
+    testing). At 10^12 scale the table is written partitioned/bucketed by
+    this id so a probe is a partition-pruned scan."""
+    packed = F.lit(0).cast("long")
+    for i in range(nbits):
+        packed = F.shiftleft(packed, 1) + \
+            F.when(vec_col[i] >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return packed
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nbits: int = 4) -> DataFrame:
+    """ANN top-k via the sign-quadrant coarse cell: probe only the query's
+    cell, exact cosine rescoring inside it (candidate set ≈ n / 2^nbits).
+
+    Complements ``lsh_bucket_topk``: the hyperplane-LSH path has better
+    recall on clustered data; this path is fully deterministic and
+    SQL-expressible, so the driver can oracle it against brute force
+    restricted to the same cell."""
+    qbucket = 0
+    for i in range(nbits):
+        qbucket = (qbucket << 1) | (1 if query[i] >= 0 else 0)
+    cands = df.where(ivf_bucket(F.col(vec_col), nbits) == F.lit(qbucket))
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
 def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            n_planes: int = 12, seed: int = 42,

@@ -104,6 +104,25 @@ def test_cosine_topk_and_ann(spark):
     assert len({r["vec_id"] for r in ann} & {300, 301, 302}) >= 2
 
 
+def test_ivf_topk_matches_in_cell_bruteforce(spark):
+    import numpy as np
+
+    from sdk_spark.operators.similarity import cosine_topk, ivf_bucket, ivf_topk
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    query = [1.0, 1.0] + [0.0] * 6
+    ann = ivf_topk(df, query, k=5, nbits=3).collect()
+    # oracle: brute force restricted to the query's sign cell
+    cell = df.where(ivf_bucket(F.col("embedding"), 3) == 7)  # query signs: +++
+    exact = cosine_topk(cell, query, k=5).collect()
+    assert [r["vec_id"] for r in ann] == [r["vec_id"] for r in exact]
+    assert all(abs(a["score"] - e["score"]) < 1e-12
+               for a, e in zip(ann, exact))
+
+
 def test_cosine_near_duplicates(spark):
     from sdk_spark.operators.similarity import cosine_near_duplicates
 
