@@ -8,11 +8,19 @@ Usage::
         --partition-col date \
         --violations /out/violations \
         --manifest   /out/manifest \
-        [--check-pixels] [--unique-key image_id] [--resume]
+        [--check-pixels] [--unique-key image_id] [--resume] \
+        [--importmap URI=FILE ...] [--format text|json|tap]
 
 Reads the input (parquet path or ``table:<name>`` for a catalog/Iceberg
 table), compiles the JSON Structure schema, validates partition-by-
 partition with manifest checkpointing, and writes violation rows + metrics.
+
+CLI parity with the reference ``jstruct`` tool (reference: rust/CLI.md:70-145):
+``--schema -`` reads stdin, ``--importmap URI=FILE`` resolves ``$import``
+targets (the bundle mechanism), ``--format text|json|tap`` selects the
+schema-check report format, and ``--check-only`` runs the schema front-end
+without starting Spark. Schema errors carry (line, col) source locations
+via ``sdk_spark.schema.locator``.
 """
 
 from __future__ import annotations
@@ -24,11 +32,12 @@ import sys
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sdk-spark-validate")
-    p.add_argument("--schema", required=True, help="JSON Structure schema file")
-    p.add_argument("--input", required=True,
+    p.add_argument("--schema", required=True,
+                   help="JSON Structure schema file, or '-' for stdin")
+    p.add_argument("--input", default=None,
                    help="parquet path or table:<catalog table name>")
-    p.add_argument("--violations", required=True, help="violations output path")
-    p.add_argument("--manifest", required=True, help="manifest table path")
+    p.add_argument("--violations", default=None, help="violations output path")
+    p.add_argument("--manifest", default=None, help="manifest table path")
     p.add_argument("--partition-col", default=None,
                    help="partition column for checkpoint/resume granularity")
     p.add_argument("--unique-key", action="append", default=[],
@@ -39,38 +48,126 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--extended", action="store_true", default=True)
     p.add_argument("--max-partitions", type=int, default=None,
                    help="validate at most N uncommitted partitions (smoke runs)")
+    p.add_argument("--importmap", action="append", default=[],
+                   metavar="URI=FILE",
+                   help="map an $import URI to a local schema file "
+                        "(repeatable; jstruct --bundle equivalent)")
+    p.add_argument("--format", choices=("text", "json", "tap"), default="text",
+                   help="schema-check report format")
+    p.add_argument("--check-only", action="store_true",
+                   help="run the schema front-end check and exit (no Spark)")
+    p.add_argument("--quiet", "-q", action="store_true",
+                   help="suppress report output; exit code only")
     return p
+
+
+def _read_schema(path: str) -> tuple[dict, str]:
+    if path == "-":
+        text = sys.stdin.read()
+    else:
+        with open(path, encoding="utf-8") as f:
+            text = f.read()
+    return json.loads(text), text
+
+
+def _load_importmap(specs: list[str]) -> list[dict]:
+    out = []
+    for spec in specs:
+        uri, _, fname = spec.partition("=")
+        if not fname:
+            raise ValueError(f"--importmap expects URI=FILE, got {spec!r}")
+        with open(fname, encoding="utf-8") as f:
+            doc = json.load(f)
+        doc.setdefault("$id", uri)
+        if doc["$id"] != uri:
+            # the map key wins: callers address the bundle by this URI
+            doc = {**doc, "$id": uri}
+        out.append(doc)
+    return out
+
+
+def emit_report(located: list[dict], fmt: str, quiet: bool,
+                out=None) -> None:
+    """Render schema-check issues as text / json / TAP."""
+    out = out or sys.stderr
+    if quiet:
+        return
+    if fmt == "json":
+        print(json.dumps({"valid": not located, "issues": located}), file=out)
+        return
+    if fmt == "tap":
+        print("TAP version 14", file=out)
+        if not located:
+            print("1..1", file=out)
+            print("ok 1 - schema valid", file=out)
+            return
+        print(f"1..{len(located)}", file=out)
+        for i, issue in enumerate(located, 1):
+            where = (f" at line {issue['line']}, col {issue['col']}"
+                     if issue.get("line") else "")
+            print(f"not ok {i} - {issue['code']} {issue['path']}{where}",
+                  file=out)
+        return
+    for issue in located:
+        where = (f" (line {issue['line']}, col {issue['col']})"
+                 if issue.get("line") else "")
+        print(f"SCHEMA ERROR: [{issue['code']}] {issue['message']} "
+              f"at {issue['path']}{where}", file=out)
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
 
-    from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-
-    from .compiler.core import CompiledSchema, violation_rows
-    from .operators import table_checks as tc
+    from .schema.locator import locate_issues
     from .schema.validator import SchemaChecker
-    from .streaming.manifest import (
-        run_resumable,
-        validate_partition_metrics,
-    )
 
     try:
-        with open(args.schema, encoding="utf-8") as f:
-            schema_doc = json.load(f)
+        schema_doc, schema_text = _read_schema(args.schema)
     except FileNotFoundError:
         print(f"SCHEMA ERROR: file not found: {args.schema}", file=sys.stderr)
         return 2
     except json.JSONDecodeError as ex:
-        print(f"SCHEMA ERROR: invalid JSON in {args.schema}: {ex}", file=sys.stderr)
+        print(f"SCHEMA ERROR: invalid JSON in {args.schema}: {ex}",
+              file=sys.stderr)
         return 2
 
-    front_errors = SchemaChecker(extended=args.extended).validate(schema_doc)
-    if front_errors:
-        for e in front_errors:
-            print(f"SCHEMA ERROR: {e}", file=sys.stderr)
+    try:
+        external = _load_importmap(args.importmap)
+    except (ValueError, FileNotFoundError, json.JSONDecodeError) as ex:
+        print(f"IMPORTMAP ERROR: {ex}", file=sys.stderr)
         return 2
+
+    checked_doc = schema_doc
+    if external:
+        # resolve $import/$importdefs against the map BEFORE the front-end
+        # check, exactly as compilation will (CompiledSchema merges the same
+        # bundles); issue paths that land in merged-in definitions resolve
+        # to their nearest enclosing node in the source text
+        from .schema.normalize import import_defs
+
+        checked_doc = import_defs(schema_doc, {d["$id"]: d for d in external})
+    front_errors = SchemaChecker(extended=args.extended).validate(checked_doc)
+    located = locate_issues(schema_text, front_errors)
+    if front_errors:
+        emit_report(located, args.format, args.quiet)
+        return 2
+    if args.check_only:
+        emit_report([], args.format, args.quiet,
+                    out=sys.stdout)
+        return 0
+    if not (args.input and args.violations and args.manifest):
+        print("ERROR: --input/--violations/--manifest required unless "
+              "--check-only", file=sys.stderr)
+        return 2
+
+    from pyspark.sql import SparkSession
+
+    from .compiler.core import CompiledSchema, violation_rows
+    from .operators import table_checks as tc
+    from .streaming.manifest import (
+        run_resumable,
+        validate_partition_metrics,
+    )
 
     spark = SparkSession.builder.appName("sdk-spark-validate").getOrCreate()
     if args.input.startswith("table:"):
@@ -78,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = spark.read.parquet(args.input)
 
-    plan = CompiledSchema(schema_doc, extended=args.extended)
+    plan = CompiledSchema(schema_doc, extended=args.extended,
+                          external_schemas=external or None)
 
     def validate_fn(pdf):
         validated = plan.validate(pdf)

@@ -9,18 +9,27 @@ One pass over the image+caption table produces:
    (Arrow-batched kernel), and
 4. per-partition pass/fail verdicts.
 
-Shuffles: exactly one for uniqueness and one tiny one for verdicts; the
-constraint pass itself is shuffle-free (SURVEY.md §4.3).
+Scan discipline (SURVEY.md §4.3 persist-once dual-write): the compiled
+constraint projection is evaluated in ONE scan of the input into a slim
+persisted intermediate (key, partition, valid, violations — a few bytes per
+row, ~1-3% of input width).  Row violations, the uniqueness aggregation,
+the uniqueness join-back, AND the per-partition verdicts are all served
+from that cache — without it the same input is scanned four times (round-1
+shape, measured as the fixed cost that capped end-to-end scaling at 0.46).
+The pixel kernel keeps its own scan: it needs the heavy ``bytes`` column,
+which must NOT be persisted.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..compiler.core import CompiledSchema, partition_verdicts, violation_rows
+from ..compiler.core import CompiledSchema
+from .. import errors as E
 from ..operators import table_checks as tc
 from ..operators.multimodal import pixel_caption_invariants
 from ..sources.images import IMAGE_STRUCT_SCHEMA
@@ -28,32 +37,65 @@ from ..sources.images import IMAGE_STRUCT_SCHEMA
 
 @dataclass
 class ImageValidationResult:
-    validated: DataFrame       # input + violations + valid
+    validated: DataFrame       # slim: key + partition + violations + valid
     violations: DataFrame      # (image_id, constraint_id, path, value)
     verdicts: DataFrame        # per-partition pass/fail + counts
+
+    def unpersist(self) -> None:
+        self.validated.unpersist()
 
 
 def validate_images(df: DataFrame, check_pixels: bool = False,
                     psnr_threshold: float = 40.0,
                     pixel_sample_fraction: float = 1.0,
-                    schema: dict | None = None) -> ImageValidationResult:
+                    schema: dict | None = None,
+                    key_col: str = "image_id",
+                    persist_intermediate: bool = True) -> ImageValidationResult:
     plan = CompiledSchema(schema or IMAGE_STRUCT_SCHEMA, extended=True)
     validated = plan.validate(df)
 
-    row_viol = violation_rows(validated, ["image_id"]) \
-        .select("image_id", "constraint_id", "path", "value")
-    uniq_viol = tc.unique_violations(df, ["image_id"]) \
-        .select("image_id", "constraint_id", "path", "value")
+    slim = validated.select(
+        key_col,
+        F.spark_partition_id().alias("__part"),
+        "valid", "violations")
+    if persist_intermediate:
+        # serialized, spillable: at 10^12 rows this is the difference
+        # between one scan of the 100-TB table and four
+        slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
+
+    v = F.explode(F.col("violations")).alias("v")
+    row_viol = (slim.select(key_col, v)
+                .select(key_col,
+                        F.col("v.constraint_id").alias("constraint_id"),
+                        F.col("v.path").alias("path"),
+                        F.col("v.value").alias("value")))
+
+    # uniqueness from the cached slim projection (key column only)
+    dups = tc.duplicate_keys(slim.select(key_col), [key_col])
+    uniq_viol = (slim.select(key_col)
+                 .join(tc.gated_broadcast(dups, 10_000_000), on=[key_col])
+                 .select(F.col(key_col),
+                         F.lit(E.ENGINE_UNIQUE_VIOLATION).alias("constraint_id"),
+                         F.lit(f"#/{key_col}").alias("path"),
+                         F.col(key_col).cast("string").alias("value")))
+
     all_viol = row_viol.unionByName(uniq_viol)
     if check_pixels:
         inv = pixel_caption_invariants(df, psnr_threshold, pixel_sample_fraction)
         all_viol = all_viol.unionByName(
             inv.select("image_id", "constraint_id", "path", "value"))
 
+    verdicts = (slim.groupBy(F.col("__part").alias("partition"))
+                .agg(F.count(F.lit(1)).alias("rows"),
+                     F.sum(F.col("valid").cast("long")).alias("valid_rows"),
+                     F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+                     F.sum(F.size("violations").cast("long")).alias("violation_count"))
+                .withColumn("passed", F.col("invalid_rows") == F.lit(0)))
+
     return ImageValidationResult(
-        validated=validated,
+        validated=slim,
         violations=all_viol,
-        verdicts=partition_verdicts(validated),
+        verdicts=verdicts,
     )
 
 

@@ -106,6 +106,11 @@ def effective(root: dict, node: Any, depth: int = 0, max_depth: int = 64) -> dic
         for kw in ("tuple", "choices", "selector"):
             if kw in target:
                 merged[kw] = target[kw]
+        # reference parity: type:{$ref} copies ONLY the structural keywords
+        # (type/properties/tuple/choices/selector/required/$extends) — value
+        # constraints like enum/const on the target do NOT transfer
+        # (reference: instance_validator.py:209-240); items/values added
+        # pragmatically for container refs
         for kw in ("required", "$extends", "items", "values"):
             if kw in target and kw not in merged:
                 merged[kw] = target[kw]

@@ -72,3 +72,40 @@ def test_validate_auto_arrow_fallback(spark):
     viol, path = validate_auto(df, doc, ["id"])
     assert path == "arrow"
     assert viol.count() >= 1  # "x" is not a choice object
+
+
+def test_validate_json_auto_additional_properties(spark):
+    """Open-object enforcement on the raw-JSON Catalyst path: undeclared
+    keys violate INSTANCE_ADDITIONAL_PROPERTY via json_object_keys, exactly
+    like the row kernel (kernel parity asserted in the same test)."""
+    import json as _json
+
+    from sdk_spark.plans.auto import validate_json_auto
+    from sdk_spark.rowcheck import RowChecker
+
+    meta = "https://json-structure.org/meta/extended/v0/#"
+    schema = {"$schema": meta, "$id": "https://t.local/ap", "name": "Ap",
+              "$uses": ["JSONStructureValidation"],
+              "type": "object",
+              "properties": {"a": {"type": "int32", "minimum": 0},
+                             "b": {"type": "string"}},
+              "required": ["a"],
+              "additionalProperties": False}
+    docs = [
+        {"a": 1, "b": "x"},                      # valid
+        {"a": 1, "b": "x", "zz": 9},             # additional property
+        {"a": -5, "extra": True, "more": None},  # range + 2 additional
+        {"$schema": meta, "a": 2},               # reserved key: exempt
+    ]
+    df = spark.createDataFrame(
+        [(i, _json.dumps(d)) for i, d in enumerate(docs)],
+        "rid long, doc string")
+    viol, path = validate_json_auto(df, "doc", schema, key_cols=["rid"])
+    assert path == "catalyst"
+    got = {}
+    for r in viol.collect():
+        got.setdefault(r["rid"], set()).add((r["constraint_id"], r["path"]))
+    kernel = RowChecker(schema, extended=True)
+    for i, d in enumerate(docs):
+        expected = {(f.code, f.path) for f in kernel.check(d)}
+        assert got.get(i, set()) == expected, (i, got.get(i), expected)
