@@ -5,10 +5,12 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` kernels —
 the engine's designated slow path (BASELINE.json input_hint: vectorized
 pandas UDFs, never per-row Python at the API layer).
 
-PNG decode is REAL (pure-Python codec, ``sdk_spark.functions.png``); JPEG
-and WEBP decoders are STUBS behind ``NotImplementedError`` because the codec
-libraries are not present in this environment — the Spark-side plumbing
-(schema, batching, partitioning) is identical for all formats.
+PNG and baseline JPEG decode are REAL (pure-Python codecs,
+``sdk_spark.functions.png`` / ``sdk_spark.functions.jpeg`` — JPEG is the
+lossy case the PSNR≥40dB invariant exists for); the WEBP decoder is a STUB
+behind ``NotImplementedError`` because no webp codec is present in this
+environment — the Spark-side plumbing (schema, batching, partitioning) is
+identical for all formats.
 """
 
 from __future__ import annotations
@@ -41,14 +43,22 @@ DECODE_META_SCHEMA = T.StructType([
 
 
 def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
-    """Decode one image payload. PNG: real decode. JPEG/WEBP: stubbed."""
+    """Decode one image payload by magic bytes.
+
+    PNG and baseline JPEG decode for real (pure-Python codecs,
+    ``sdk_spark.functions.png`` / ``.jpeg``); WEBP remains a documented stub
+    — its codec is not present in this environment."""
     from ..functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
-    if fmt in ("jpeg", "webp"):
+    if payload[:2] == b"\xFF\xD8":
+        from ..functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if fmt == "webp" or payload[:4] == b"RIFF":
         raise NotImplementedError(
-            f"{fmt} decode requires a codec library not present in this "
+            "webp decode requires a codec library not present in this "
             "environment; plug a real decoder in here")
     raise ValueError("unrecognized image payload")
 

@@ -127,7 +127,8 @@ def _dims(i: int) -> tuple[int, int]:
     return 8 + (i * 7) % 17, 8 + (i * 11) % 13
 
 
-def make_row(i: int, seed: int = SEED, plant: bool = True) -> tuple:
+def make_row(i: int, seed: int = SEED, plant: bool = True,
+             jpeg_fraction: float = 0.0) -> tuple:
     from ..functions.png import encode_png
 
     image_id = canonical_id(i, seed)
@@ -145,10 +146,19 @@ def make_row(i: int, seed: int = SEED, plant: bool = True) -> tuple:
         noise = rng.randint(-80, 80, pixels.shape)
         pixels = np.clip(pixels.astype(np.int16) + noise, 0, 255).astype(np.uint8)
     caption = reference_caption(image_id)
-    payload = encode_png(pixels)
+    # lossy tier: q95 keeps clean content >= ~50 dB (well above the 40 dB
+    # invariant) while planted noise rows stay far below it
+    use_jpeg = jpeg_fraction > 0 and (i % 10) < jpeg_fraction * 10
+    if use_jpeg:
+        from ..functions.jpeg import encode_jpeg
+
+        payload = encode_jpeg(pixels, quality=95)
+        fmt = "jpeg"
+    else:
+        payload = encode_png(pixels)
+        fmt = "png"
     phash = average_hash(pixels)
     out_w, out_h = w, h
-    fmt = ("png", "jpeg", "webp")[i % 3] if not plant else "png"
     if plant:
         if k == 2:
             out_w = 0
@@ -167,21 +177,28 @@ def make_row(i: int, seed: int = SEED, plant: bool = True) -> tuple:
     return (image_id, payload, out_w, out_h, fmt, caption, phash)
 
 
-def _gen_batches(batches: Iterator[pd.DataFrame], seed: int, plant: bool
-                 ) -> Iterator[pd.DataFrame]:
+def _gen_batches(batches: Iterator[pd.DataFrame], seed: int, plant: bool,
+                 jpeg_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = [make_row(int(i), seed, plant) for i in pdf["id"]]
+        rows = [make_row(int(i), seed, plant, jpeg_fraction)
+                for i in pdf["id"]]
         yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_TABLE_SCHEMA.fields])
 
 
 def generate_images(spark: SparkSession, n: int, partitions: int = 32,
-                    seed: int = SEED, plant: bool = True) -> DataFrame:
+                    seed: int = SEED, plant: bool = True,
+                    jpeg_fraction: float = 0.0) -> DataFrame:
     """Distributed deterministic generation: every executor builds its own
-    slice from row indices (Arrow-batched, no driver data movement)."""
+    slice from row indices (Arrow-batched, no driver data movement).
+
+    ``jpeg_fraction`` > 0 encodes that share of rows as baseline JPEG
+    (lossy tier; the PSNR invariant's reason to exist). The scaling bench
+    keeps PNG-only input so its numbers measure the engine, not the
+    pure-Python stand-in codec's throughput."""
     base = spark.range(0, n, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _gen_batches(batches, seed, plant)
+        return _gen_batches(batches, seed, plant, jpeg_fraction)
 
     return base.mapInPandas(gen, IMAGE_TABLE_SCHEMA)
 

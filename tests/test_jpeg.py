@@ -1,0 +1,92 @@
+"""Baseline JPEG codec + lossy-tier invariants on a mixed-format table.
+
+The north-rule input says ``fmt ∈ {png, jpeg, webp}`` with decoded-pixel
+PSNR≥40dB as the per-row invariant *for lossy formats* — these tests prove
+the invariant end-to-end on real JPEG payloads, not just PNG.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sdk_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from sdk_spark.functions.png import psnr
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 3 + yy * 2) % 256, (xx + yy * 5) % 256,
+                     np.full((h, w), 77)], axis=2).astype(np.uint8)
+
+
+def test_roundtrip_psnr_by_content():
+    solid = np.full((13, 9, 3), 123, dtype=np.uint8)
+    assert psnr(decode_jpeg(encode_jpeg(solid, 95)), solid) == np.inf
+    grad = _gradient(21, 17)
+    assert psnr(decode_jpeg(encode_jpeg(grad, 95)), grad) >= 45
+    rng = np.random.RandomState(0)
+    noise = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    # pure noise is the hard case: quality 95 keeps it mid-30s dB — enough
+    # to prove the codec is faithful but legitimately below lossless
+    assert 25 <= psnr(decode_jpeg(encode_jpeg(noise, 95)), noise) < 50
+
+
+def test_grayscale_and_odd_dims():
+    g = (np.arange(23 * 11).reshape(23, 11) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, 95))
+    assert dec.shape == (23, 11, 3)
+    assert psnr(dec, np.stack([g] * 3, axis=-1)) >= 40
+    one = np.full((1, 1, 3), 200, dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(one)).shape == (1, 1, 3)
+
+
+def test_header_structure_and_rejections():
+    grad = _gradient(8, 8)
+    payload = encode_jpeg(grad)
+    assert payload[:2] == b"\xFF\xD8" and payload[-2:] == b"\xFF\xD9"
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xFF\xD8\xFF\xD9")  # no SOF/SOS
+
+
+def test_decode_image_dispatch():
+    from sdk_spark.operators.multimodal import decode_image
+    from sdk_spark.functions.png import encode_png
+
+    grad = _gradient(10, 10)
+    assert psnr(decode_image(encode_jpeg(grad, 95)), grad) >= 40
+    assert np.array_equal(decode_image(encode_png(grad)), grad)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFF....WEBPVP8 ", fmt="webp")
+
+
+def test_mixed_format_invariants_on_spark(spark):
+    """pixel_caption_invariants over a 30%-JPEG planted table: exactly the
+    planted pixel/caption defects are flagged; clean JPEG rows pass the
+    40 dB bar."""
+    from sdk_spark.operators.multimodal import pixel_caption_invariants
+    from sdk_spark.sources.images import expected_violation_ids, generate_images
+
+    n = 300
+    df = generate_images(spark, n, partitions=4, jpeg_fraction=0.3)
+    fmts = {r["fmt"] for r in df.select("fmt").distinct().collect()}
+    assert "jpeg" in fmts and "png" in fmts
+
+    viol = pixel_caption_invariants(df).collect()
+    got_pixel = {r["image_id"] for r in viol
+                 if r["constraint_id"] == "ENGINE_PIXEL_MISMATCH"}
+    got_caption = {r["image_id"] for r in viol
+                   if r["constraint_id"] == "ENGINE_CAPTION_MISMATCH"}
+    from sdk_spark.sources.images import canonical_id
+
+    exp = expected_violation_ids(n)
+    exp_pixel = {canonical_id(i) for i in exp["pixel"]}
+    # every planted caption mutation (empty / NUL-injected / reference-
+    # mutated) differs from the reference caption, so all three classes
+    # are legitimate ENGINE_CAPTION_MISMATCH rows
+    exp_caption = {canonical_id(i) for i in
+                   exp["cap_ref"] + exp["cap_minlen"] + exp["cap_pattern"]}
+    assert got_pixel == exp_pixel
+    assert got_caption == exp_caption
