@@ -89,3 +89,103 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
     viol = validate_json_column(df, json_col, schema_doc,
                                 key_cols=key_cols, extended=extended)
     return viol, "arrow"
+
+
+def validate_json_with_instance_uses(df: DataFrame, json_col: str,
+                                     schema_doc: dict, key_cols: list[str],
+                                     extended: bool = False,
+                                     max_distinct_uses: int = 16,
+                                     ) -> tuple[DataFrame, str]:
+    """Instance-level ``$uses`` on the columnar path (SURVEY §7 risk item).
+
+    The reference lets each INSTANCE enable schema extensions via its own
+    ``$uses`` member (reference: instance_validator.py:321-324) — per-row
+    schema mutation, which a compiled columnar plan cannot express. Rows in
+    a table are near-homogeneous, so the engine compiles ONE plan per
+    distinct ``$uses`` set (driver-side distinct over a low-cardinality
+    value) and unions the branch results: per-batch semantics, zero
+    per-row Python. Falls back to the row kernel when the distinct count
+    exceeds ``max_distinct_uses`` (heterogeneity says rows aren't batch-
+    shaped) or a branch schema cannot lower.
+    """
+    uses_expr = F.get_json_object(F.col(json_col), "$['$uses']")
+    distinct = [r[0] for r in
+                df.select(uses_expr.alias("u")).distinct()
+                .limit(max_distinct_uses + 1).collect()]
+    if len(distinct) > max_distinct_uses:
+        return (validate_json_column(df, json_col, schema_doc,
+                                     key_cols=key_cols, extended=extended),
+                "arrow")
+    import json as _json
+
+    builtins = ("JSONStructureValidation", "JSONStructureConditionalComposition",
+                "JSONStructureAlternateNames", "JSONStructureUnits")
+    meta = schema_doc.get("$schema", "")
+    offers = schema_doc.get("$offers", {})
+
+    def _deref(ptr):
+        from ..schema.normalize import deref
+
+        return deref(schema_doc, ptr)
+
+    branches = []
+    for u in distinct:
+        try:
+            uses_list = _json.loads(u) if u else None
+        except ValueError:
+            uses_list = None
+        if not isinstance(uses_list, list):
+            uses_list = [uses_list] if isinstance(uses_list, str) else []
+        branch_schema = dict(schema_doc)
+        extra: list[tuple[str, str]] = []  # (constraint_id, value) per row
+        if uses_list:
+            # built-in keyword families cannot be instance-enabled on a core
+            # schema (kernel parity: rowcheck.py:170-178; reference:
+            # instance_validator.py:146-160)
+            if meta.endswith("/core/v0/#") and any(
+                    x in ("JSONStructureValidation",
+                          "JSONStructureConditionalComposition")
+                    for x in uses_list):
+                extra.append(("INSTANCE_ADDIN_NOT_SUPPORTED",
+                              _json.dumps(uses_list)))
+            props = dict(branch_schema.get("properties", {}))
+            for x in uses_list:
+                if x in builtins:
+                    continue
+                if x not in offers:
+                    extra.append(("INSTANCE_USES_NOT_OFFERED", str(x)))
+                    continue
+                addin = offers[x]
+                for g in (addin if isinstance(addin, list) else [addin]):
+                    node = g
+                    if isinstance(g, str):
+                        node = _deref(g)
+                    elif isinstance(g, dict) and "$ref" in g:
+                        node = _deref(g["$ref"])
+                    if isinstance(node, dict):
+                        for k, v in node.get("properties", {}).items():
+                            props[k] = v
+            branch_schema["properties"] = props
+        cond = uses_expr.isNull() if u is None else (uses_expr == F.lit(u))
+        subset = df.where(cond)
+        try:
+            viol, path = validate_json_auto(subset, json_col, branch_schema,
+                                            key_cols, extended=extended)
+        except SchemaCompileError:
+            viol, path = (validate_json_column(subset, json_col,
+                                               branch_schema,
+                                               key_cols=key_cols,
+                                               extended=extended), "arrow")
+        for cid, val in extra:
+            viol = viol.unionByName(subset.select(
+                *key_cols,
+                F.lit(cid).alias("constraint_id"),
+                F.lit("#").alias("path"),
+                F.lit(val).alias("value")))
+        branches.append((viol, path))
+    out = branches[0][0]
+    for viol, _p in branches[1:]:
+        out = out.unionByName(viol)
+    mode = ("catalyst" if all(p == "catalyst" for _v, p in branches)
+            else "mixed")
+    return out, mode

@@ -109,3 +109,72 @@ def test_validate_json_auto_additional_properties(spark):
     for i, d in enumerate(docs):
         expected = {(f.code, f.path) for f in kernel.check(d)}
         assert got.get(i, set()) == expected, (i, got.get(i), expected)
+
+
+def test_validate_json_with_instance_uses(spark):
+    """Per-batch instance-$uses: one compiled plan per distinct $uses set,
+    kernel-differential on every row (reference: instance_validator.py:321-324,
+    146-160)."""
+    import json as _json
+
+    from sdk_spark.plans.auto import validate_json_with_instance_uses
+    from sdk_spark.rowcheck import RowChecker
+
+    meta_ext = "https://json-structure.org/meta/extended/v0/#"
+    schema = {"$schema": meta_ext, "$id": "https://t.local/uses", "name": "U",
+              "$uses": ["JSONStructureValidation"],
+              "$offers": {"Extra": {"properties":
+                                    {"x": {"type": "int32", "minimum": 10}}}},
+              "type": "object",
+              "properties": {"v": {"type": "int32", "minimum": 10}}}
+    docs = [
+        {"v": 15, "x": 5},                          # no $uses: x is ignored
+        {"$uses": ["Extra"], "v": 15, "x": 5},      # add-in on: x violates
+        {"$uses": ["Extra"], "v": 15, "x": 50},     # add-in on: valid
+        {"$uses": ["NotOffered"], "v": 15},         # unknown add-in
+        {"v": 5},                                   # base violation
+    ]
+    df = spark.createDataFrame(
+        [(i, _json.dumps(d)) for i, d in enumerate(docs)],
+        "rid long, doc string")
+    viol, mode = validate_json_with_instance_uses(df, "doc", schema,
+                                                  key_cols=["rid"])
+    assert mode == "catalyst"
+    got = {}
+    for r in viol.collect():
+        got.setdefault(r["rid"], set()).add(r["constraint_id"])
+    # kernel differential: per-row $uses must agree
+    rc = RowChecker(schema, extended=True)
+    for i, d in enumerate(docs):
+        codes = {f.code for f in rc.check(d)}
+        assert got.get(i, set()) == codes, (i, got.get(i), codes)
+    assert got[1] == {"INSTANCE_NUMBER_MINIMUM"}
+    assert got[3] == {"INSTANCE_USES_NOT_OFFERED"}
+
+
+def test_instance_uses_builtin_on_core_schema(spark):
+    """Requesting a built-in keyword family via instance $uses against a
+    core-metaschema root is INSTANCE_ADDIN_NOT_SUPPORTED (kernel parity)."""
+    import json as _json
+
+    from sdk_spark.plans.auto import validate_json_with_instance_uses
+    from sdk_spark.rowcheck import RowChecker
+
+    schema = {"$schema": "https://json-structure.org/meta/core/v0/#",
+              "$id": "https://t.local/core", "name": "C",
+              "type": "object",
+              "properties": {"v": {"type": "int32"}}}
+    docs = [{"v": 1}, {"$uses": ["JSONStructureValidation"], "v": 1}]
+    df = spark.createDataFrame(
+        [(i, _json.dumps(d)) for i, d in enumerate(docs)],
+        "rid long, doc string")
+    viol, _mode = validate_json_with_instance_uses(df, "doc", schema,
+                                                   key_cols=["rid"])
+    got = {}
+    for r in viol.collect():
+        got.setdefault(r["rid"], set()).add(r["constraint_id"])
+    rc = RowChecker(schema, extended=False)
+    for i, d in enumerate(docs):
+        codes = {f.code for f in rc.check(d)}
+        assert got.get(i, set()) == codes, (i, got.get(i), codes)
+    assert got[1] == {"INSTANCE_ADDIN_NOT_SUPPORTED"}
