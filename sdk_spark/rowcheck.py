@@ -590,7 +590,7 @@ def _as_exact_number(x):
     comparable Python number; None when not numeric. int/Decimal/float
     cross-compare exactly in Python — no double rounding."""
     if isinstance(x, bool):
-        return None
+        return int(x)  # reference quirk: bool is int for numeric compares
     if isinstance(x, (int, float)):
         return x
     if isinstance(x, str):
