@@ -114,3 +114,50 @@ def test_windowed_verdicts_stream(spark, tmp_path):
     rows = spark.sql("SELECT * FROM verd_stream").collect()
     assert sum(r["rows"] for r in rows) == 60
     assert any(not r["passed"] for r in rows)
+
+
+def test_running_verdicts_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-key verdicts accumulate ACROSS batches."""
+    from sdk_spark.streaming.stateful import running_verdicts
+
+    src = str(tmp_path / "ssrc")
+    # batch 1: keys a (clean) and b (1 violation)
+    spark.createDataFrame([("a", 5), ("a", 7), ("b", 999)], "k string, v long") \
+        .write.parquet(src)
+    stream = spark.readStream.schema("k string, v long").parquet(src)
+    out = running_verdicts(stream, SCHEMA_DOC, "k")
+    q = (out.writeStream.format("memory").queryName("run_verd")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["key"]: r for r in spark.sql("SELECT * FROM run_verd").collect()}
+    assert got["a"]["rows"] == 2 and got["a"]["passed"]
+    assert got["b"]["invalid_rows"] == 1 and not got["b"]["passed"]
+
+    # batch 2 arrives: key a picks up a violation -> cumulative state flips
+    spark.createDataFrame([("a", 500)], "k string, v long") \
+        .write.mode("append").parquet(src)
+    q2 = (out.writeStream.format("memory").queryName("run_verd2")
+          .outputMode("update").trigger(availableNow=True)
+          .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q2.awaitTermination(120)
+    # without a shared checkpoint the second query re-reads everything:
+    # a has 3 rows total, 1 invalid -> cumulative verdict fails
+    got2 = {r["key"]: r for r in spark.sql("SELECT * FROM run_verd2").collect()}
+    assert got2["a"]["rows"] == 3
+    assert got2["a"]["invalid_rows"] == 1 and not got2["a"]["passed"]
+
+
+def test_first_seen_dedup_stateful(spark, tmp_path):
+    from sdk_spark.streaming.stateful import first_seen
+
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame([("x",), ("x",), ("y",), ("x",), ("z",)],
+                          "k string").write.parquet(src)
+    stream = spark.readStream.schema("k string").parquet(src)
+    out = first_seen(stream, "k")
+    q = (out.writeStream.format("memory").queryName("first_seen_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    keys = sorted(r["key"] for r in
+                  spark.sql("SELECT * FROM first_seen_t").collect())
+    assert keys == ["x", "y", "z"]
