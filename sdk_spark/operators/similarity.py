@@ -91,10 +91,14 @@ def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
     qsig = 0
     for row in planes:
         qsig = (qsig << 1) | (1 if float(np.dot(row, query)) >= 0 else 0)
+    # probe all buckets within Hamming distance `multiprobe` of the query's
+    # signature (standard multi-probe LSH: trades probes for recall without
+    # re-hashing the table)
     probes = {qsig}
-    if multiprobe > 0:
-        for i in range(n_planes):
-            probes.add(qsig ^ (1 << i))
+    frontier = {qsig}
+    for _ in range(max(0, multiprobe)):
+        frontier = {s ^ (1 << i) for s in frontier for i in range(n_planes)}
+        probes |= frontier
     bucketed = with_lsh_bucket(df, vec_col, n_planes, seed, dim)
     cands = bucketed.where(F.col("lsh_bucket").isin(*[int(p) for p in probes]))
     return cosine_topk(cands, query, k, id_col, vec_col)
