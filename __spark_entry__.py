@@ -369,6 +369,32 @@ def q_pattern_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p_partkey", "constraint_id", "value"))
 
 
+def q_content_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct_by_content keeper selection: lowest doc_id survives per
+    normalized-content group. The corpus has no natural exact dups at this
+    sf, so a shifted self-union plants one duplicate per document — the
+    dedup must drop exactly half the rows (non-vacuous oracle)."""
+    from sdk_spark.operators.dedup import distinct_by_content
+
+    docs = _t(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    return distinct_by_content(doubled).select("doc_id", "lang", "n_chars")
+
+
+def q_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard rescorer on a deterministic candidate set (consecutive
+    doc ids) — isolates the exact-Jaccard stage from the LSH stage."""
+    from sdk_spark.operators.dedup import ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + 1).alias("id_b"))
+    scored = ngram_jaccard(docs, "doc_id", "text", pairs)
+    return scored.select("id_a", "id_b",
+                         F.round("jaccard", 4).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -394,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "bigint_precision": q_bigint_precision,
         "pattern_dialect": q_pattern_dialect,
+        "content_dedup_keep": q_content_dedup_keep,
+        "pair_jaccard": q_pair_jaccard,
     }
 
 
@@ -609,6 +637,33 @@ def oracle_sql() -> dict[str, str]:
             FROM part
             WHERE p_name IS NOT NULL
               AND NOT regexp_matches(p_name, '(?P<c>^(red|blue) )')
+        """,
+        "content_dedup_keep": """
+            WITH doubled AS (
+              SELECT * FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+              FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM doubled d
+            JOIN (SELECT min(doc_id) AS doc_id
+                  FROM doubled
+                  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                 ) k ON d.doc_id = k.doc_id
+        """,
+        "pair_jaccard": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                                    for i in range(1, greatest(length(text) - 4, 1) + 1)]) AS s
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.s, b.s))::DOUBLE /
+                         greatest(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)), 1), 4)
+                     AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
         # simhash_near_dups / embedding_ann: xxhash64- or seeded-hyperplane-
         # based → no SQL twin; rows-only check + planted-pair/recall unit tests
