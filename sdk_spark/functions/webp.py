@@ -1,0 +1,295 @@
+"""Lossless WebP (VP8L) codec subset in pure Python — no codec libraries.
+
+Implements the VP8L bitstream (RIFF/WEBP/VP8L container, LSB-first
+bitstream, canonical prefix codes) for the subset the engine's synthetic
+multimodal tier needs:
+
+* **encoder**: literal-only ARGB coding (no transforms, no color cache, no
+  LZ77 backreferences) — flat 8-bit codes for G/R/B channels, single-symbol
+  simple codes for constant channels. Always valid VP8L; ~3 bytes/pixel.
+* **decoder**: full simple + normal prefix-code reading (code-length codes,
+  repeats 16/17/18, max_symbol cap) and literal pixels; transforms, color
+  cache and LZ77 backreferences raise ``NotImplementedError`` with the
+  feature name (subset decoder — the planted corpus never emits them).
+
+Caveat, stated honestly: this container has no reference WebP codec to
+cross-verify against, so conformance is validated by round-trip +
+bit-level structural tests only. The Spark-side plumbing (magic dispatch,
+mapInPandas batching, PSNR invariant — lossless ⇒ exact equality) is
+independent of that caveat.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# code-length-code symbol order (VP8L spec §6.2.2; same role as DEFLATE's)
+K_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15]
+GREEN_ALPHABET = 256 + 24  # literals + length-prefix codes (no cache)
+
+
+class _LsbBitWriter:
+    """LSB-first bit packing (VP8L convention)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Canonical prefix codes are emitted MSB-of-code first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _LsbBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, nbits: int) -> int:
+        while self.nbits < nbits:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.acc |= byte << self.nbits
+            self.nbits += 8
+        v = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.nbits -= nbits
+        return v
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical assignment by (length, symbol)."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted(lengths, key=lambda s: (lengths[s], s)):
+        length = lengths[sym]
+        code <<= (length - prev_len)
+        codes[sym] = (code, length)
+        code += 1
+        prev_len = length
+    return codes
+
+
+class _PrefixDecoder:
+    def __init__(self, lengths: dict[int, int]):
+        nonzero = {s: l for s, l in lengths.items() if l > 0}
+        if len(nonzero) == 1:
+            self.single = next(iter(nonzero))
+            self.table = {}
+            return
+        self.single = None
+        self.table = {cl: s for s, cl in _canonical_codes(nonzero).items()}
+
+    def decode(self, br: _LsbBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, 16):
+            code = (code << 1) | br.read(1)
+            sym = self.table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid prefix code")
+
+
+# -- encoder -------------------------------------------------------------------
+
+def _write_simple_code(bw: _LsbBitWriter, symbol: int) -> None:
+    bw.write(1, 1)        # simple
+    bw.write(0, 1)        # num_symbols - 1 = 0
+    bw.write(1, 1)        # first symbol uses 8 bits
+    bw.write(symbol, 8)
+
+
+def _write_flat256_code(bw: _LsbBitWriter, alphabet: int) -> None:
+    """Normal code: symbols 0..255 all length 8 (complete), rest zero via a
+    max_symbol cap when the alphabet is larger."""
+    bw.write(0, 1)                      # not simple
+    bw.write(12 - 4, 4)                 # num_code_lengths = 12 (covers 16, 8)
+    # 3-bit lengths for K_CODE_LENGTH_ORDER[0:12]:
+    # symbol 16 sits at index 8, symbol 8 at index 11 — both get length 1
+    for idx in range(12):
+        sym = K_CODE_LENGTH_ORDER[idx]
+        bw.write(1 if sym in (8, 16) else 0, 3)
+    # code-length code: {8: len1, 16: len1} → canonical: 8→'0', 16→'1'
+    cl_codes = _canonical_codes({8: 1, 16: 1})
+    # token plan: one literal '8', then sym-16 repeats (3 + 2bits copies of
+    # the previous length) until 256 lengths are assigned
+    tokens: list[tuple[int, int | None]] = [(8, None)]
+    remaining = 255
+    while remaining > 0:
+        n = min(6, remaining)
+        if n < 3:
+            tokens.extend((8, None) for _ in range(n))
+            remaining = 0
+        else:
+            tokens.append((16, n - 3))
+            remaining -= n
+    if alphabet > 256:
+        # max_symbol caps the number of length-code READS (libwebp
+        # decrements once per loop iteration), not assigned symbols
+        bw.write(1, 1)
+        bw.write(3, 3)                   # length_nbits = 2 + 2*3 = 8
+        bw.write(len(tokens) - 2, 8)     # max_symbol = 2 + value
+    else:
+        bw.write(0, 1)
+    for sym, extra in tokens:
+        code, length = cl_codes[sym]
+        bw.write_code(code, length)
+        if extra is not None:
+            bw.write(extra, 2)
+
+
+def encode_webp(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB (or (h, w) gray) as lossless VP8L."""
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    h, w = arr.shape[:2]
+    if w > 16384 or h > 16384:
+        raise ValueError("VP8L dimensions cap at 16384")
+    bw = _LsbBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)   # no alpha
+    bw.write(0, 3)   # version
+    bw.write(0, 1)   # no transforms
+    bw.write(0, 1)   # no color cache
+    bw.write(0, 1)   # no meta prefix image
+    # 5 prefix codes: green(+lengths), red, blue, alpha, distance
+    _write_flat256_code(bw, GREEN_ALPHABET)
+    _write_flat256_code(bw, 256)    # red
+    _write_flat256_code(bw, 256)    # blue
+    _write_simple_code(bw, 255)     # alpha: constant opaque
+    _write_simple_code(bw, 0)       # distance: unused
+    flat = arr.reshape(-1, 3)
+    # flat 8-bit canonical code over 0..255 assigns symbol i the code i
+    for r, g, b in flat:
+        bw.write_code(int(g), 8)
+        bw.write_code(int(r), 8)
+        bw.write_code(int(b), 8)
+    payload = b"\x2f" + bw.finish()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# -- decoder -------------------------------------------------------------------
+
+def _read_prefix_code(br: _LsbBitReader, alphabet: int) -> _PrefixDecoder:
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        sym0 = br.read(8) if br.read(1) else br.read(1)
+        if num_symbols == 2:
+            return _PrefixDecoder({sym0: 1, br.read(8): 1})
+        return _PrefixDecoder({sym0: 1})  # zero bits consumed per decode
+    num_code_lengths = 4 + br.read(4)
+    cl_lengths: dict[int, int] = {}
+    for i in range(num_code_lengths):
+        ln = br.read(3)
+        if ln:
+            cl_lengths[K_CODE_LENGTH_ORDER[i]] = ln
+    cl_dec = _PrefixDecoder(cl_lengths)
+    if br.read(1):  # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths: dict[int, int] = {}
+    symbol = 0
+    prev_len = 8
+    while symbol < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        code_len = cl_dec.decode(br)
+        if code_len < 16:
+            if code_len:
+                lengths[symbol] = code_len
+                prev_len = code_len
+            symbol += 1
+        elif code_len == 16:
+            for _ in range(3 + br.read(2)):
+                if symbol < alphabet:
+                    lengths[symbol] = prev_len
+                    symbol += 1
+        elif code_len == 17:
+            symbol += 3 + br.read(3)
+        else:  # 18
+            symbol += 11 + br.read(7)
+    return _PrefixDecoder(lengths)
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a literal-coded lossless VP8L stream to (h, w, 3) uint8 RGB."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP)")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise NotImplementedError(
+                f"webp feature not supported by the subset decoder: "
+                f"{tag.decode().strip()} (lossy/extended)")
+        pos += 8 + size + (size & 1)
+    if vp8l is None or vp8l[:1] != b"\x2f":
+        raise ValueError("missing VP8L chunk/signature")
+    br = _LsbBitReader(vp8l[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)   # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if br.read(1):
+        raise NotImplementedError(
+            "webp feature not supported by the subset decoder: transform")
+    if br.read(1):
+        raise NotImplementedError(
+            "webp feature not supported by the subset decoder: color cache")
+    if br.read(1):
+        raise NotImplementedError(
+            "webp feature not supported by the subset decoder: meta prefix")
+    green = _read_prefix_code(br, GREEN_ALPHABET)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    _alpha = _read_prefix_code(br, 256)
+    _dist = _read_prefix_code(br, 40)
+    out = np.empty((h * w, 3), dtype=np.uint8)
+    for i in range(h * w):
+        s = green.decode(br)
+        if s >= 256:
+            raise NotImplementedError(
+                "webp feature not supported by the subset decoder: "
+                "LZ77 backreference")
+        g = s
+        r = red.decode(br)
+        b = blue.decode(br)
+        _alpha.decode(br)
+        out[i] = (r, g, b)
+    return out.reshape(h, w, 3)

@@ -45,9 +45,10 @@ DECODE_META_SCHEMA = T.StructType([
 def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode one image payload by magic bytes.
 
-    PNG and baseline JPEG decode for real (pure-Python codecs,
-    ``sdk_spark.functions.png`` / ``.jpeg``); WEBP remains a documented stub
-    — its codec is not present in this environment."""
+    PNG, baseline JPEG, and lossless WebP (VP8L) decode for real
+    (pure-Python codecs, ``sdk_spark.functions.png`` / ``.jpeg`` /
+    ``.webp``); lossy VP8 / extended VP8X webp raise NotImplementedError
+    (documented subset — no codec library in this environment)."""
     from ..functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -56,10 +57,12 @@ def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
         from ..functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    if fmt == "webp" or payload[:4] == b"RIFF":
-        raise NotImplementedError(
-            "webp decode requires a codec library not present in this "
-            "environment; plug a real decoder in here")
+    if payload[:4] == b"RIFF":
+        from ..functions.webp import decode_webp
+
+        # lossless VP8L decodes for real; lossy VP8/extended VP8X raise
+        # NotImplementedError inside (subset decoder, functions/webp.py)
+        return decode_webp(payload)
     raise ValueError("unrecognized image payload")
 
 

@@ -128,7 +128,8 @@ def _dims(i: int) -> tuple[int, int]:
 
 
 def make_row(i: int, seed: int = SEED, plant: bool = True,
-             jpeg_fraction: float = 0.0) -> tuple:
+             jpeg_fraction: float = 0.0,
+             webp_fraction: float = 0.0) -> tuple:
     from ..functions.png import encode_png
 
     image_id = canonical_id(i, seed)
@@ -147,13 +148,21 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
         pixels = np.clip(pixels.astype(np.int16) + noise, 0, 255).astype(np.uint8)
     caption = reference_caption(image_id)
     # lossy tier: q95 keeps clean content >= ~50 dB (well above the 40 dB
-    # invariant) while planted noise rows stay far below it
+    # invariant) while planted noise rows stay far below it; webp (VP8L)
+    # is lossless like png
     use_jpeg = jpeg_fraction > 0 and (i % 10) < jpeg_fraction * 10
+    use_webp = (webp_fraction > 0 and not use_jpeg
+                and (i % 10) >= 10 - webp_fraction * 10)
     if use_jpeg:
         from ..functions.jpeg import encode_jpeg
 
         payload = encode_jpeg(pixels, quality=95)
         fmt = "jpeg"
+    elif use_webp:
+        from ..functions.webp import encode_webp
+
+        payload = encode_webp(pixels)
+        fmt = "webp"
     else:
         payload = encode_png(pixels)
         fmt = "png"
@@ -178,16 +187,18 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
 
 
 def _gen_batches(batches: Iterator[pd.DataFrame], seed: int, plant: bool,
-                 jpeg_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
+                 jpeg_fraction: float = 0.0,
+                 webp_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = [make_row(int(i), seed, plant, jpeg_fraction)
+        rows = [make_row(int(i), seed, plant, jpeg_fraction, webp_fraction)
                 for i in pdf["id"]]
         yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_TABLE_SCHEMA.fields])
 
 
 def generate_images(spark: SparkSession, n: int, partitions: int = 32,
                     seed: int = SEED, plant: bool = True,
-                    jpeg_fraction: float = 0.0) -> DataFrame:
+                    jpeg_fraction: float = 0.0,
+                    webp_fraction: float = 0.0) -> DataFrame:
     """Distributed deterministic generation: every executor builds its own
     slice from row indices (Arrow-batched, no driver data movement).
 
@@ -198,7 +209,8 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 32,
     base = spark.range(0, n, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _gen_batches(batches, seed, plant, jpeg_fraction)
+        return _gen_batches(batches, seed, plant, jpeg_fraction,
+                            webp_fraction)
 
     return base.mapInPandas(gen, IMAGE_TABLE_SCHEMA)
 

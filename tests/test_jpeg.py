@@ -58,8 +58,10 @@ def test_decode_image_dispatch():
     grad = _gradient(10, 10)
     assert psnr(decode_image(encode_jpeg(grad, 95)), grad) >= 40
     assert np.array_equal(decode_image(encode_png(grad)), grad)
+    lossy_vp8 = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+                 + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
     with pytest.raises(NotImplementedError):
-        decode_image(b"RIFF....WEBPVP8 ", fmt="webp")
+        decode_image(lossy_vp8, fmt="webp")
 
 
 def test_mixed_format_invariants_on_spark(spark):
@@ -70,9 +72,10 @@ def test_mixed_format_invariants_on_spark(spark):
     from sdk_spark.sources.images import expected_violation_ids, generate_images
 
     n = 300
-    df = generate_images(spark, n, partitions=4, jpeg_fraction=0.3)
+    df = generate_images(spark, n, partitions=4, jpeg_fraction=0.3,
+                         webp_fraction=0.3)
     fmts = {r["fmt"] for r in df.select("fmt").distinct().collect()}
-    assert "jpeg" in fmts and "png" in fmts
+    assert {"jpeg", "png", "webp"} <= fmts
 
     viol = pixel_caption_invariants(df).collect()
     got_pixel = {r["image_id"] for r in viol
@@ -90,3 +93,42 @@ def test_mixed_format_invariants_on_spark(spark):
                    exp["cap_ref"] + exp["cap_minlen"] + exp["cap_pattern"]}
     assert got_pixel == exp_pixel
     assert got_caption == exp_caption
+
+
+def test_webp_codec_roundtrip():
+    """VP8L lossless: exact pixel equality, structural header checks,
+    subset rejections (no reference codec in this container — conformance
+    is round-trip + structural; see functions/webp.py caveat)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from sdk_spark.functions.webp import decode_webp, encode_webp
+
+    yy, xx = np.mgrid[0:21, 0:17]
+    grad = np.stack([(xx * 3 + yy * 2) % 256, (xx + yy * 5) % 256,
+                     np.full((21, 17), 77)], axis=2).astype(np.uint8)
+    payload = encode_webp(grad)
+    assert payload[:4] == b"RIFF" and payload[8:16] == b"WEBPVP8L"
+    assert np.array_equal(decode_webp(payload), grad)
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    assert np.array_equal(decode_webp(encode_webp(noise)), noise)
+    solid = np.full((1, 1, 3), 9, dtype=np.uint8)
+    assert np.array_equal(decode_webp(encode_webp(solid)), solid)
+    with _pytest.raises(ValueError):
+        decode_webp(b"RIFX" + b"\x00" * 20)
+    # lossy VP8 chunk: honest NotImplementedError, not garbage pixels
+    fake_vp8 = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
+                + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
+    with _pytest.raises(NotImplementedError):
+        decode_webp(fake_vp8)
+
+
+def test_decode_image_webp_dispatch():
+    import numpy as np
+
+    from sdk_spark.functions.webp import encode_webp
+    from sdk_spark.operators.multimodal import decode_image
+
+    img = np.full((5, 4, 3), 66, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_webp(img)), img)
