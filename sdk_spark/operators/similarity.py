@@ -134,6 +134,33 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 
+def write_ann_index(df: DataFrame, path: str, vec_col: str = "embedding",
+                    n_planes: int = 12, seed: int = 42,
+                    dim: int | None = None, nbits: int = 4) -> None:
+    """Materialize the ANN 'index': the table partitioned on disk by the
+    IVF cell, with the hyperplane-LSH bucket as a stored column.
+
+    At 10^12 rows this is what makes a probe cheap: the IVF partition
+    column prunes the scan to ~1/2^nbits of the files (verified by
+    PartitionFilters in the probe plan), and the stored LSH bucket narrows
+    further without recomputing signatures."""
+    out = (with_lsh_bucket(df, vec_col, n_planes, seed, dim)
+           .withColumn("ivf_cell", ivf_bucket(F.col(vec_col), nbits)))
+    out.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     nbits: int = 4) -> DataFrame:
+    """Probe the materialized index: the ivf_cell equality predicate is a
+    PARTITION filter — only the query's cell directory is scanned."""
+    qbucket = 0
+    for i in range(nbits):
+        qbucket = (qbucket << 1) | (1 if query[i] >= 0 else 0)
+    df = spark.read.parquet(path).where(F.col("ivf_cell") == F.lit(qbucket))
+    return cosine_topk(df, query, k, id_col, vec_col)
+
+
 def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            n_planes: int = 12, seed: int = 42,

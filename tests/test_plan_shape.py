@@ -136,3 +136,30 @@ def test_image_job_single_input_scan(spark):
     # violations: constraint branch + uniqueness branch both come from cache
     assert viol_plan.count("InMemory") >= 2
     res.unpersist()
+
+
+def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
+    """The materialized ANN index scans ONLY the query's IVF cell directory
+    (PartitionFilters in the probe plan) and returns the same top-k as the
+    in-memory cell probe."""
+    import numpy as np
+
+    from sdk_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ann_index,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ann_index")
+    write_ann_index(df, path, n_planes=6, dim=8, nbits=3)
+
+    query = [1.0, 1.0] + [0.0] * 6
+    probe = ivf_topk_indexed(spark, path, query, k=5, nbits=3)
+    text = _plan(probe)
+    assert re.search(r"PartitionFilters: \[.*ivf_cell.*\]", text), text
+    got = [r["vec_id"] for r in probe.collect()]
+    exact = [r["vec_id"] for r in ivf_topk(df, query, k=5, nbits=3).collect()]
+    assert got == exact
