@@ -1,0 +1,180 @@
+"""Audio/video multimodal operators (Arrow-batched kernels; brief §media).
+
+Same design as the image tier: payloads are opaque ``binary`` columns with
+typed metadata; decode/feature-extract/resize/frame-sample run as
+``mapInPandas`` kernels over Arrow batches (no per-row Python at the API
+layer), and every kernel is a real implementation wherever a pure-Python
+codec is feasible:
+
+* **audio** — RIFF/WAVE 16-bit PCM decodes for REAL
+  (``sdk_spark.functions.wav``); features = duration / RMS / peak /
+  zero-crossing rate. Compressed codecs raise NotImplementedError by tag.
+* **image resize** — REAL: decode (PNG/JPEG/WebP), nearest-neighbor resize
+  in numpy, re-encode PNG. The batch shape is exactly what a
+  libjpeg/Pillow-backed production kernel would use.
+* **video frame-sample** — container codecs (h264/vp9) are not feasible in
+  pure Python, so video uses a documented stand-in container ``RAWV``
+  (frame count + concatenated PNG frames, ``encode_rawv``): the SAMPLING
+  logic, schema, batching and partitioning are all real; only the inner
+  per-frame decode call swaps out for a real demuxer in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), True),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("duration_sec", T.DoubleType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("peak", T.DoubleType(), True),
+    T.StructField("zero_cross_rate", T.DoubleType(), True),
+    T.StructField("decode_ok", T.BooleanType(), True),
+])
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), True),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("w", T.IntegerType(), True),
+    T.StructField("h", T.IntegerType(), True),
+])
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), True),
+    T.StructField("frame_index", T.IntegerType(), True),
+    T.StructField("frame_png", T.BinaryType(), True),
+    T.StructField("mean_luma", T.DoubleType(), True),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "media_id",
+                   bytes_col: str = "bytes") -> DataFrame:
+    """Per-clip audio features from REAL PCM decode (one row per clip)."""
+    cols = df.select(F.col(id_col).alias("media_id"), F.col(bytes_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[bytes_col]):
+                if payload is None:
+                    rows.append((mid, None, None, None, None, None, None, False))
+                    continue
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((mid, None, None, None, None, None, None, False))
+                    continue
+                mono = samples.mean(axis=1)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) \
+                    if len(mono) > 1 else 0.0
+                rows.append((mid, rate, samples.shape[1],
+                             samples.shape[0] / rate,
+                             float(np.sqrt(np.mean(mono ** 2))),
+                             float(np.max(np.abs(mono))) if len(mono) else 0.0,
+                             zc, True))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              AUDIO_FEATURE_SCHEMA.fields])
+
+    return cols.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "image_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode PNG (fully real)."""
+    cols = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png
+        from .multimodal import decode_image
+
+        ys = None
+        for pdf in batches:
+            rows = []
+            for iid, payload in zip(pdf["image_id"], pdf[bytes_col]):
+                if payload is None:
+                    rows.append((iid, None, None, None))
+                    continue
+                try:
+                    arr = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    rows.append((iid, None, None, None))
+                    continue
+                h, w = arr.shape[:2]
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                resized = arr[yi][:, xi]
+                rows.append((iid, encode_png(resized), out_w, out_h))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              RESIZE_SCHEMA.fields])
+
+    return cols.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+# -- video stand-in container ------------------------------------------------------
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    """Stand-in video container: 'RAWV' + frame count + length-prefixed PNG
+    frames. A real pipeline swaps this + the demux below for pyav/ffmpeg."""
+    from ..functions.png import encode_png
+
+    out = bytearray(b"RAWV")
+    out += len(frames).to_bytes(4, "little")
+    for f in frames:
+        png = encode_png(f)
+        out += len(png).to_bytes(4, "little") + png
+    return bytes(out)
+
+
+def _demux_rawv(payload: bytes) -> list[bytes]:
+    if payload[:4] != b"RAWV":
+        raise NotImplementedError(
+            "real video containers (mp4/webm) need a demuxer library; "
+            "only the RAWV stand-in decodes in this environment")
+    n = int.from_bytes(payload[4:8], "little")
+    frames = []
+    pos = 8
+    for _ in range(n):
+        ln = int.from_bytes(payload[pos:pos + 4], "little")
+        frames.append(payload[pos + 4:pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+def sample_frames(df: DataFrame, every_n: int = 2,
+                  id_col: str = "media_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """Frame sampling: one output row per kept frame (index % every_n == 0),
+    decoded for real (PNG frames in the stand-in container)."""
+    cols = df.select(F.col(id_col).alias("media_id"), F.col(bytes_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[bytes_col]):
+                if payload is None:
+                    continue
+                try:
+                    frames = _demux_rawv(bytes(payload))
+                except NotImplementedError:
+                    continue  # non-RAWV containers skipped (documented)
+                for idx in range(0, len(frames), every_n):
+                    arr = decode_png(frames[idx])
+                    rows.append((mid, idx, frames[idx], float(arr.mean())))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              FRAME_SAMPLE_SCHEMA.fields])
+
+    return cols.mapInPandas(kernel, FRAME_SAMPLE_SCHEMA)
