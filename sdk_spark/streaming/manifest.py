@@ -93,6 +93,14 @@ def run_resumable(
 
     ``validate_fn(partition_df) -> (violations_df, metrics_dict)`` where
     metrics has rows/valid_rows/invalid_rows/violation_count.
+
+    Cardinality assumption: ``partition_col`` is a COARSE partition key
+    (dates/buckets — hundreds to low thousands of values, the Iceberg
+    partition-spec grain), so collecting the distinct values and looping
+    sequentially is a driver-side metadata operation, and each iteration's
+    scan is pruned to that partition's files. Partition-keying on a
+    high-cardinality column would turn this into millions of tiny jobs —
+    checkpoint at the partition-spec grain, not the row grain.
     """
     run_id = str(uuid.uuid4())
     fp = schema_fingerprint(schema_doc) if schema_doc else ""
