@@ -803,10 +803,7 @@ class CompiledSchema:
                         # malformed digits already fail NUMBER_FORMAT_INVALID
                         return F.when(col.rlike(RX["int"]), pred).otherwise(F.lit(True))
                 if dec_backed:
-                    dec = col.try_cast("decimal(38,12)")
-                    b = F.lit(str(x)).cast("decimal(38,12)")
-                    return {"ge": dec >= b, "le": dec <= b,
-                            "gt": dec > b, "lt": dec < b}[op]
+                    return _decimal_bound(col, x, op)
                 b = F.lit(float(x) if isinstance(x, str) else x)
                 return {"ge": num >= b, "le": num <= b,
                         "gt": num > b, "lt": num < b}[op]
@@ -941,6 +938,52 @@ def _as_exact_int_bound(x, op: str) -> int | None:
     if op in ("ge", "lt"):
         return math.ceil(frac)
     return math.floor(frac)
+
+
+def _decimal_bound(col: Column, x, op: str) -> Column:
+    """Exact bound predicate for decimals carried as strings.
+
+    A ``try_cast`` to ``decimal(38,12)`` is NOT exact: >26 integer digits
+    cast to NULL (which ``_present`` would coerce to a false violation) and
+    >12 fractional digits round, both diverging from the row kernel's
+    ``decimal.Decimal`` compare.  Instead, plain decimal strings are scaled
+    by 10^S (S = the bound's fractional digits) via digit-string surgery and
+    compared with the same arbitrary-precision scheme as int128
+    (``_bigint_lt``); digits truncated past S only matter at equality, where
+    the nonzero-tail flag decides.  Exponent-notation values (valid per the
+    decimal format check) fall back to a double compare — exact beyond
+    double precision is not expressible for e-notation in Catalyst, and the
+    kernel parity test documents that residual divergence.
+    """
+    import decimal
+
+    B = decimal.Decimal(str(x))
+    S = max(0, -B.as_tuple().exponent)
+    b10 = int(B.scaleb(S))
+
+    plain = col.rlike(r"^[+-]?[0-9]+(\.[0-9]+)?$")
+    int_part = F.regexp_extract(col, r"^[+-]?([0-9]+)", 1)
+    frac = F.regexp_extract(col, r"\.([0-9]+)$", 1)
+    frac_s = F.rpad(F.substring(frac, 1, S), S, "0") if S else F.lit("")
+    tail = F.substring(frac, S + 1, 1 << 20).rlike("[1-9]")
+    mag = F.regexp_replace(F.concat(int_part, frac_s), r"^0+(?=[0-9])", "")
+    neg = col.startswith("-")
+    signed = F.when(neg & (mag != F.lit("0")),
+                    F.concat(F.lit("-"), mag)).otherwise(mag)
+
+    lt_b = _bigint_lt(signed, b10)          # trunc(v·10^S) <  b·10^S
+    gt_b = ~_bigint_lt(signed, b10 + 1)     # trunc(v·10^S) >  b·10^S
+    eq_b = ~lt_b & ~gt_b
+    # truncation is toward zero: v ∈ [t, t+1) for v ≥ 0, v ∈ (t-1, t] for
+    # v < 0 — so the tail flag flips the verdict only at eq_b, directionally
+    ge = F.when(neg, gt_b | (eq_b & ~tail)).otherwise(~lt_b)
+    gt = F.when(neg, gt_b).otherwise(gt_b | (eq_b & tail))
+    exact = {"ge": ge, "gt": gt, "le": ~gt, "lt": ~ge}[op]
+
+    d = col.try_cast("double")
+    bd = F.lit(float(B))
+    approx = {"ge": d >= bd, "le": d <= bd, "gt": d > bd, "lt": d < bd}[op]
+    return F.when(plain, exact).otherwise(approx)
 
 
 def _bigint_bound(col: Column, x, op: str) -> Column | None:

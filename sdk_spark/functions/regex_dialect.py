@@ -61,11 +61,21 @@ def java_safe(pattern: str) -> bool:
             # \Z: Python = absolute end; Java \Z = before final terminator
             if ch == "Z":
                 return False
+        if in_class and not escaped:
+            # Java gives `&&` (intersection) and a nested `[` (class union)
+            # special meaning INSIDE a character class; Python treats both
+            # literally — the pattern compiles in both dialects but matches
+            # differently, so the compile gate below can't catch it.
+            if ch == "[" or (ch == "&" and pattern[i:i + 2] == "&&"):
+                return False
         if ch == "(" and not escaped and not in_class:
             rest = pattern[i:]
             if any(rest.startswith(g) for g in _PY_ONLY_GROUPS):
                 return False
-            m = re.match(r"\(\?([aiLmsux]+)[):]", rest)
+            # plain, scoped, and negated inline-flag forms: (?ai), (?a:x),
+            # (?a-i:x), (?-i:x) — Python-only flags may only appear in the
+            # positive half (negating 'a'/'L' is a Python syntax error)
+            m = re.match(r"\(\?([aiLmsux]*)(?:-[imsx]+)?[):]", rest)
             if m and any(f in m.group(1) for f in _PY_ONLY_FLAGS):
                 return False
     # group backreferences \1..\9: Java supports them, but Python and Java
@@ -84,7 +94,12 @@ def _java_compiles(pattern: str) -> bool:
 
         spark = SparkSession.getActiveSession()
         if spark is None:
-            return True  # no JVM to ask; marker scan above is the gate
+            # No JVM to ask → NOT safe.  The marker scan is necessary but
+            # not sufficient (Java rejects constructs Python accepts, e.g.
+            # dangling `]`); a wrong True here becomes an executor-side
+            # PatternSyntaxException mid-job, while a wrong False only
+            # costs the Arrow fallback for plans compiled session-less.
+            return False
         spark._jvm.java.util.regex.Pattern.compile(pattern)
         return True
     except Exception:

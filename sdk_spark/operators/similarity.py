@@ -69,7 +69,12 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
                     n_planes: int = 12, seed: int = 42,
                     dim: int | None = None) -> DataFrame:
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # No driver-side `.first()` sniff: on a 10^12-row table that is a
+        # full job just to learn a constant the caller already knows.
+        raise ValueError(
+            "with_lsh_bucket requires dim= (the embedding dimensionality); "
+            "array columns do not carry a length in the Spark schema and "
+            "inferring it would run a driver job over the full table")
     planes = hyperplanes(dim, n_planes, seed)
     return df.withColumn(
         "lsh_bucket",
@@ -165,15 +170,20 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            n_planes: int = 12, seed: int = 42,
                            dim: int | None = None,
-                           max_bucket_size: int | None = None) -> DataFrame:
+                           max_bucket_size: int | None = "default") -> DataFrame:
     """Embedding near-dup pairs: bucket join then exact cosine filter.
 
     ``max_bucket_size`` bounds the per-bucket quadratic step exactly like
-    the minhash/simhash caps (``sdk_spark.operators.dedup.DEFAULT_MAX_BUCKET``
-    is a sensible production value); ``None`` keeps every bucket. Report
-    excluded buckets with ``oversized_cosine_buckets``.
+    the minhash/simhash caps and — like them — DEFAULTS to
+    ``dedup.DEFAULT_MAX_BUCKET`` so a caller who forgets the kwarg cannot
+    reintroduce the O(n²) mega-bucket at scale.  Pass ``None`` explicitly to
+    keep every bucket.  Report excluded buckets with
+    ``oversized_cosine_buckets``.
     """
-    from .dedup import _cap_buckets
+    from .dedup import _cap_buckets, DEFAULT_MAX_BUCKET
+
+    if max_bucket_size == "default":
+        max_bucket_size = DEFAULT_MAX_BUCKET
 
     b = with_lsh_bucket(df, vec_col, n_planes, seed, dim) \
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket")

@@ -23,6 +23,7 @@ to whole tables with explicit shuffle/skew strategy:
 
 from __future__ import annotations
 
+from collections import deque
 from functools import reduce
 
 from pyspark import StorageLevel
@@ -33,25 +34,79 @@ from .. import errors as E
 
 DEFAULT_QUANTILES = [0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99]
 
+#: byte budget for a gated broadcast.  Spark's own auto-broadcast default is
+#: 10 MB; an *explicit* hint on a derived set can safely go higher because
+#: we probe the real cardinality first, but multi-GB broadcasts replicate to
+#: every executor — 64 MB is the ceiling here regardless of row count.
+DEFAULT_BROADCAST_BYTES = 64 << 20
 
-def gated_broadcast(small: DataFrame, threshold: int | None) -> DataFrame:
+#: default row-count gate (combined with the byte budget below; the
+#: effective cap is the stricter of the two).
+DEFAULT_BROADCAST_ROWS = 1_000_000
+
+_FIXED_TYPE_BYTES = {
+    "boolean": 1, "byte": 1, "short": 2, "integer": 4, "float": 4,
+    "date": 4, "long": 8, "double": 8, "timestamp": 8, "timestamp_ntz": 8,
+}
+#: assumed width for variable-size fields (string/binary/array/struct/map)
+#: when estimating broadcast size — deliberately pessimistic so the byte
+#: budget errs toward NOT broadcasting.
+_VAR_TYPE_BYTES = 48
+
+# Persisted probe plans, bounded so callers that gate broadcasts inside a
+# loop (resumable per-partition validation, repeated image jobs) can't
+# accumulate cached blocks for the lifetime of the application.  The handle
+# must stay persisted past the probe — the consuming join reuses it — so
+# eviction is LRU-by-insertion; `release_probe_cache()` frees everything.
+_PROBE_CACHE: deque[DataFrame] = deque()
+_PROBE_CACHE_MAX = 8
+
+
+def _remember_persisted(df: DataFrame) -> None:
+    _PROBE_CACHE.append(df)
+    while len(_PROBE_CACHE) > _PROBE_CACHE_MAX:
+        _PROBE_CACHE.popleft().unpersist(False)
+
+
+def release_probe_cache() -> None:
+    """Unpersist every probe plan ``gated_broadcast`` is still holding."""
+    while _PROBE_CACHE:
+        _PROBE_CACHE.popleft().unpersist(False)
+
+
+def estimated_row_bytes(schema) -> int:
+    """Schema-based per-row width estimate (for the broadcast byte budget)."""
+    total = 0
+    for f in schema.fields:
+        total += _FIXED_TYPE_BYTES.get(f.dataType.typeName(), _VAR_TYPE_BYTES)
+    return max(total, 8)
+
+
+def gated_broadcast(small: DataFrame, threshold: int | None,
+                    max_bytes: int = DEFAULT_BROADCAST_BYTES) -> DataFrame:
     """Broadcast ``small`` only when a counted probe proves it fits.
 
     An unconditional ``F.broadcast`` on a derived set (duplicate keys, dup
     fingerprints) is a 100-TB killer: a table where 10% of keys repeat has a
     billions-row duplicate set, and forcing it onto the driver/executors
-    OOMs the job.  The probe ``limit(threshold+1).count()`` is cheap (it can
-    stop early) and the plan is persisted first so the aggregation feeding
-    it is computed once, not once for the probe and once for the join.
-    Above the threshold the plain plan is returned and Catalyst/AQE picks a
-    shuffle join (or its own runtime broadcast if statistics allow).
+    OOMs the job.  The gate is SIZE-aware, not just row-count-aware: the
+    effective row cap is ``min(threshold, max_bytes / estimated_row_bytes)``
+    so a wide-key set trips the gate long before ``threshold`` rows.  The
+    probe ``limit(cap+1).count()`` is cheap (it can stop early) and the plan
+    is persisted first so the aggregation feeding it is computed once, not
+    once for the probe and once for the join; persisted probe plans live in
+    a bounded LRU (``release_probe_cache()`` frees them early).  Above the
+    cap the plain plan is returned and Catalyst/AQE picks a shuffle join
+    (or its own runtime broadcast if statistics allow).
 
     ``threshold=None`` disables broadcasting outright.
     """
     if threshold is None:
         return small
+    cap = min(int(threshold), max(1, max_bytes // estimated_row_bytes(small.schema)))
     small = small.persist(StorageLevel.MEMORY_AND_DISK)
-    if small.limit(threshold + 1).count() <= threshold:
+    _remember_persisted(small)
+    if small.limit(cap + 1).count() <= cap:
         return F.broadcast(small)
     return small
 
@@ -73,7 +128,8 @@ def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def unique_violations(df: DataFrame, keys: list[str],
-                      broadcast_threshold: int | None = 10_000_000) -> DataFrame:
+                      broadcast_threshold: int | None = DEFAULT_BROADCAST_ROWS
+                      ) -> DataFrame:
     """Violation rows for every row whose key is duplicated.
 
     The duplicate-key set is usually tiny → broadcast it back onto the fact
@@ -97,16 +153,20 @@ def unique_violations(df: DataFrame, keys: list[str],
 
 def fk_orphans(fact: DataFrame, fk_cols: list[str],
                dim: DataFrame, pk_cols: list[str],
-               broadcast_dim: bool = True) -> DataFrame:
+               broadcast_dim: bool = True,
+               broadcast_threshold: int = DEFAULT_BROADCAST_ROWS) -> DataFrame:
     """Rows in ``fact`` whose foreign key has no match in ``dim``.
 
-    Broadcast left-anti by default (dimensions are small); with
-    ``broadcast_dim=False`` Catalyst/AQE picks shuffled hash or sort-merge.
+    Broadcast left-anti by default — but gated, not forced: dimensions are
+    *usually* small, and ``gated_broadcast`` proves it with a counted probe
+    before hinting, so a surprise billion-key dimension falls back to a
+    shuffled anti-join instead of OOMing executors.  ``broadcast_dim=False``
+    skips the probe and lets Catalyst/AQE pick shuffled hash or sort-merge.
     """
     dim_keys = dim.select(*[F.col(c).alias(f"__pk_{i}")
                             for i, c in enumerate(pk_cols)]).distinct()
     if broadcast_dim:
-        dim_keys = F.broadcast(dim_keys)
+        dim_keys = gated_broadcast(dim_keys, broadcast_threshold)
     cond = reduce(lambda a, b: a & b,
                   [fact[fk] == dim_keys[f"__pk_{i}"]
                    for i, fk in enumerate(fk_cols)])

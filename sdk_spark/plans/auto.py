@@ -62,13 +62,29 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
         typed = df.select(*key_cols,
                           F.from_json(F.col(json_col), st).alias("__doc"),
                           F.col(json_col).alias("__raw"))
+        # NULL / malformed / non-object documents must NOT be silently
+        # valid (kernel parity: jsonbatch.validate_json_column emits
+        # INSTANCE_TYPE_MISMATCH at '#').  ``from_json`` returns an
+        # all-null struct (not NULL) for malformed input, so the reliable
+        # parse-failure signal is ``json_object_keys(raw) IS NULL`` —
+        # null for NULL raw, unparseable text, and any non-object root.
+        parse_fail = F.json_object_keys(F.col("__raw")).isNull()
+        bad = (typed.where(parse_fail)
+               .select(*key_cols,
+                       F.lit("INSTANCE_TYPE_MISMATCH").alias("constraint_id"),
+                       F.lit("#").alias("path"),
+                       F.when(F.trim(F.col("__raw")) == "null", F.lit(None))
+                       .otherwise(F.substring(F.col("__raw"), 1, 128))
+                       .alias("value")))
         # keys/raw kept out of the validated projection: root-level checks
         # like has/patternProperties iterate DataFrame columns and must not
-        # see the carrier columns
-        flat = typed.select(*key_cols, *[
+        # see the carrier columns.  Parse failures are excluded — the
+        # kernel stops at the root mismatch and never reports the
+        # would-be-missing required properties of an unparsed doc.
+        flat = typed.where(~parse_fail).select(*key_cols, *[
             F.col(f"__doc.{f.name}").alias(f.name) for f in st.fields])
         validated = plan.validate(flat)
-        viol = violation_rows(validated, key_cols)
+        viol = violation_rows(validated, key_cols).unionByName(bad)
 
         if plan.root.get("additionalProperties") is False:
             declared = list(plan.root.get("properties", {})) + list(_ROOT_RESERVED)

@@ -133,7 +133,7 @@ def test_cosine_near_duplicates(spark):
         (3, [-1.0, 0.0, 0.0, 0.0]),
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = cosine_near_duplicates(df, threshold=0.95, n_planes=8).collect()
+    pairs = cosine_near_duplicates(df, threshold=0.95, n_planes=8, dim=4).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
 
 
