@@ -192,13 +192,32 @@ def q_verdict_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx-distinct (no SQL oracle: approximate by design; driver
-    records the weaker rows-only check)."""
+    """HLL approx-distinct as a CHECKABLE tolerance query.
+
+    The sketch is approximate by design, so the oracle pins (a) the exact
+    distinct counts (DuckDB recomputes them) and (b) a tolerance verdict:
+    |HLL − exact| ≤ 3·rsd·exact (rsd 0.05 → 15%; HLL++ error is ~1.04/√m,
+    so 3·rsd is a >5-sigma band — deterministic data makes this stable)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("orderkeys"),
-        F.approx_count_distinct("l_partkey").alias("partkeys"),
-    )
+    rsd = 0.05
+    wide = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd).alias("a_ok"),
+        F.countDistinct("l_orderkey").alias("e_ok"),
+        F.approx_count_distinct("l_partkey", rsd).alias("a_pk"),
+        F.countDistinct("l_partkey").alias("e_pk"))
+
+    def tol(a, e):
+        return (F.abs(F.col(a) - F.col(e))
+                <= F.lit(3 * rsd) * F.col(e)).cast("int")
+
+    return wide.select(
+        F.lit("l_orderkey").alias("col_name"),
+        F.col("e_ok").alias("exact_distinct"),
+        tol("a_ok", "e_ok").alias("within_tol"),
+    ).unionByName(wide.select(
+        F.lit("l_partkey").alias("col_name"),
+        F.col("e_pk").alias("exact_distinct"),
+        tol("a_pk", "e_pk").alias("within_tol")))
 
 
 def q_docs_schema_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,12 +301,27 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash chunk-LSH candidates with Hamming distance (rows-only check)."""
+    """SimHash chunk-LSH over documents + a PLANTED duplicate set.
+
+    xxhash64 has no DuckDB twin, so the oracle is a planted expected set:
+    every doc with doc_id % 40 == 0 gets a byte-identical copy at
+    doc_id + 10_000_000; identical text ⇒ identical simhash ⇒ all four
+    chunks collide ⇒ the pair MUST survive the full pipeline (signature,
+    chunk explode, bucket join, dedup, bit_count).  The organic candidates
+    are still computed (the join runs over the whole union) and filtered
+    out only at the end, so the oracle exercises the real candidate
+    volume.  Near-identical (hamming 1-3) recovery is pinned separately by
+    the planted-pair unit test — a textual perturbation here would
+    legitimately exceed the pigeonhole bound on short documents."""
     from sdk_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return (simhash_candidates(docs)
-            .where(F.col("hamming") <= 10)
+    planted = (docs.where(F.col("doc_id") % 40 == 0)
+               .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       F.col("text")))
+    union = docs.select("doc_id", "text").unionByName(planted)
+    return (simhash_candidates(union)
+            .where(F.col("id_b") - F.col("id_a") == 10_000_000)
             .select("id_a", "id_b", "hamming"))
 
 
@@ -306,15 +340,28 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hyperplane-LSH ANN top-k (scale path; rows-only check + recall test —
-    random hyperplanes have no SQL twin)."""
-    from sdk_spark.operators.similarity import lsh_bucket_topk
+    """hyperplane-LSH ANN top-k as a CHECKABLE recall verdict.
+
+    Random hyperplanes have no SQL twin, so the oracle pins recall@10 ≥ 0.8
+    against the exact brute-force top-10 (itself hash-matched against
+    DuckDB by ``embedding_topk``) as a boolean row.  LSH parameters scale
+    with data size — 2^n_planes should be ≈ n / target_bucket — so the
+    small-sf driver run uses 3 planes / 2 probes; at 10^12 rows the same
+    operator runs with ~30 planes against the materialized partition-pruned
+    index (``write_ann_index``)."""
+    from sdk_spark.operators.similarity import cosine_topk, lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     query = [1.0] + [0.0] * (EMB_DIM - 1)
-    return lsh_bucket_topk(emb, query, k=10).select(
-        "vec_id",
-        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+    k = 10
+    ann = lsh_bucket_topk(emb, query, k=k, n_planes=3, multiprobe=2) \
+        .select("vec_id")
+    exact = cosine_topk(emb, query, k=k).select("vec_id")
+    return (ann.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(k).alias("k"),
+                    (F.col("hits") >= F.lit(0.8 * k)).cast("int")
+                    .alias("recall_ok")))
 
 
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,8 +712,29 @@ def oracle_sql() -> dict[str, str]:
                      AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
-        # simhash_near_dups / embedding_ann: xxhash64- or seeded-hyperplane-
-        # based → no SQL twin; rows-only check + planted-pair/recall unit tests
+        # r3: the former no-oracle trio, now checkable (VERDICT r2 next-#2):
+        # HLL → exact counts + 3·rsd tolerance verdict; simhash → planted
+        # byte-identical copies (guaranteed recovery, expected set below);
+        # ANN → recall@10 ≥ 0.8 vs the (separately oracled) exact top-10.
+        "distinct_counts": """
+            SELECT 'l_orderkey' AS col_name,
+                   COUNT(DISTINCT l_orderkey) AS exact_distinct,
+                   1 AS within_tol
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey' AS col_name,
+                   COUNT(DISTINCT l_partkey) AS exact_distinct,
+                   1 AS within_tol
+            FROM lineitem
+        """,
+        "simhash_near_dups": """
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b, 0 AS hamming
+            FROM documents
+            WHERE doc_id % 40 = 0
+        """,
+        "embedding_ann": """
+            SELECT 10 AS k, 1 AS recall_ok
+        """,
     }
 
 
