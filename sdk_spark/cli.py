@@ -56,6 +56,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="schema-check report format")
     p.add_argument("--check-only", action="store_true",
                    help="run the schema front-end check and exit (no Spark)")
+    p.add_argument("--metaschema", action="store_true",
+                   help="allow '$' in property-name identifiers (for "
+                        "validating metaschemas; reference: "
+                        "json-structure-check --metaschema, "
+                        "schema_validator.py:1347-1348)")
     p.add_argument("--quiet", "-q", action="store_true",
                    help="suppress report output; exit code only")
     return p
@@ -146,7 +151,9 @@ def main(argv: list[str] | None = None) -> int:
         from .schema.normalize import import_defs
 
         checked_doc = import_defs(schema_doc, {d["$id"]: d for d in external})
-    front_errors = SchemaChecker(extended=args.extended).validate(checked_doc)
+    front_errors = SchemaChecker(
+        extended=args.extended,
+        allow_dollar=args.metaschema).validate(checked_doc)
     located = locate_issues(schema_text, front_errors)
     if front_errors:
         emit_report(located, args.format, args.quiet)

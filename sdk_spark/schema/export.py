@@ -50,72 +50,127 @@ _PY_TO_JS: dict[Any, str] = {
 }
 
 
-def _node_from_spark(dt: T.DataType) -> dict:
+@dataclasses.dataclass
+class ExportContext:
+    """Passed to a ``transform_schema`` callback for every generated node
+    (reference parity: ``SchemaExporterContext`` + ``_apply_transform``,
+    schema_exporter.py:38,511-527).  ``type_`` is the source Python type or
+    Spark ``DataType``; ``field`` the ``dataclasses.Field`` / ``StructField``
+    that produced the node (None at the root / for nested element types)."""
+
+    path: str
+    type_: Any = None
+    field: Any = None
+
+
+#: signature of the user extension point: (context, generated_node) -> node
+TransformFn = typing.Callable[[ExportContext, dict], dict]
+
+
+def _xform(transform: TransformFn | None, node: dict, path: str,
+           type_: Any = None, field: Any = None) -> dict:
+    if transform is None:
+        return node
+    return transform(ExportContext(path=path, type_=type_, field=field), node)
+
+
+def _node_from_spark(dt: T.DataType, transform: TransformFn | None = None,
+                     path: str = "#") -> dict:
     if isinstance(dt, T.DecimalType):
-        return {"type": "decimal", "precision": dt.precision, "scale": dt.scale}
-    if isinstance(dt, T.ArrayType):
-        return {"type": "array", "items": _node_from_spark(dt.elementType)}
-    if isinstance(dt, T.MapType):
-        return {"type": "map", "values": _node_from_spark(dt.valueType)}
-    if isinstance(dt, T.StructType):
-        return {
+        node = {"type": "decimal", "precision": dt.precision, "scale": dt.scale}
+    elif isinstance(dt, T.ArrayType):
+        node = {"type": "array",
+                "items": _node_from_spark(dt.elementType, transform,
+                                          path + "/items")}
+    elif isinstance(dt, T.MapType):
+        node = {"type": "map",
+                "values": _node_from_spark(dt.valueType, transform,
+                                           path + "/values")}
+    elif isinstance(dt, T.StructType):
+        node = {
             "type": "object",
-            "properties": {f.name: _node_from_spark(f.dataType) for f in dt.fields},
+            "properties": {
+                f.name: _xform(transform,
+                               _node_from_spark(f.dataType, transform,
+                                                f"{path}/properties/{f.name}"),
+                               f"{path}/properties/{f.name}",
+                               type_=f.dataType, field=f)
+                for f in dt.fields},
         }
-    js = _SPARK_TO_JS.get(type(dt))
-    if js is None:
-        return {"type": "any"}
-    return {"type": js}
+    else:
+        js = _SPARK_TO_JS.get(type(dt))
+        node = {"type": js} if js else {"type": "any"}
+    return node
 
 
 def schema_from_struct_type(st: T.StructType, name: str = "ExportedRecord",
                             schema_id: str = "https://sdk-spark.local/exported",
-                            required_non_nullable: bool = True) -> dict:
-    """Spark StructType → JSON Structure schema document."""
+                            required_non_nullable: bool = True,
+                            transform_schema: TransformFn | None = None) -> dict:
+    """Spark StructType → JSON Structure schema document.
+
+    ``transform_schema`` is the user extension point (reference:
+    schema_exporter.py:511-527): called with (ExportContext, node) for every
+    generated node, returning the — possibly rewritten — node."""
     doc = {
         "$schema": META_EXTENDED,
         "$id": schema_id,
         "name": name,
         "$uses": ["JSONStructureValidation"],
         "type": "object",
-        "properties": {f.name: _node_from_spark(f.dataType) for f in st.fields},
+        "properties": {
+            f.name: _xform(transform_schema,
+                           _node_from_spark(f.dataType, transform_schema,
+                                            f"#/properties/{f.name}"),
+                           f"#/properties/{f.name}",
+                           type_=f.dataType, field=f)
+            for f in st.fields},
     }
     if required_non_nullable:
         req = [f.name for f in st.fields if not f.nullable]
         if req:
             doc["required"] = req
-    return doc
+    return _xform(transform_schema, doc, "#", type_=st)
 
 
-def _node_from_pytype(tp: Any) -> dict:
+def _node_from_pytype(tp: Any, transform: TransformFn | None = None,
+                      path: str = "#") -> dict:
     origin = typing.get_origin(tp)
     if origin is typing.Union or str(origin) == "types.UnionType":
         args = [a for a in typing.get_args(tp)]
         non_none = [a for a in args if a is not type(None)]
         if len(non_none) == 1:
-            return _node_from_pytype(non_none[0])  # Optional[X] → X, nullable
+            # Optional[X] → X, nullable
+            return _node_from_pytype(non_none[0], transform, path)
         return {"type": [
-            _node_from_pytype(a).get("type", "any") for a in non_none]}
+            _node_from_pytype(a, transform, path).get("type", "any")
+            for a in non_none]}
     if origin in (list, set, frozenset):
         (item,) = typing.get_args(tp) or (Any,)
         t = "set" if origin in (set, frozenset) else "array"
-        return {"type": t, "items": _node_from_pytype(item)}
+        return {"type": t,
+                "items": _node_from_pytype(item, transform, path + "/items")}
     if origin is dict:
         args = typing.get_args(tp)
         val = args[1] if len(args) == 2 else Any
-        return {"type": "map", "values": _node_from_pytype(val)}
+        return {"type": "map",
+                "values": _node_from_pytype(val, transform, path + "/values")}
     if dataclasses.is_dataclass(tp):
-        return _object_from_dataclass(tp)
+        return _object_from_dataclass(tp, transform, path)
     js = _PY_TO_JS.get(tp)
     return {"type": js} if js else {"type": "any"}
 
 
-def _object_from_dataclass(cls: type) -> dict:
+def _object_from_dataclass(cls: type, transform: TransformFn | None = None,
+                           path: str = "#") -> dict:
     props, required = {}, []
     hints = typing.get_type_hints(cls)
     for f in dataclasses.fields(cls):
         tp = hints.get(f.name, Any)
-        props[f.name] = _node_from_pytype(tp)
+        fpath = f"{path}/properties/{f.name}"
+        props[f.name] = _xform(transform,
+                               _node_from_pytype(tp, transform, fpath),
+                               fpath, type_=tp, field=f)
         is_optional = (typing.get_origin(tp) is typing.Union
                        and type(None) in typing.get_args(tp))
         has_default = (f.default is not dataclasses.MISSING
@@ -129,14 +184,18 @@ def _object_from_dataclass(cls: type) -> dict:
 
 
 def schema_from_dataclass(cls: type,
-                          schema_id: str = "https://sdk-spark.local/exported"
+                          schema_id: str = "https://sdk-spark.local/exported",
+                          transform_schema: TransformFn | None = None
                           ) -> dict:
-    """Python dataclass → JSON Structure schema (reference exporter parity)."""
-    node = _object_from_dataclass(cls)
-    return {
+    """Python dataclass → JSON Structure schema (reference exporter parity,
+    incl. the ``transform_schema`` per-node rewrite callback —
+    schema_exporter.py:38,511-527)."""
+    node = _object_from_dataclass(cls, transform_schema)
+    doc = {
         "$schema": META_EXTENDED,
         "$id": schema_id,
         "name": cls.__name__,
         "$uses": ["JSONStructureValidation"],
         **node,
     }
+    return _xform(transform_schema, doc, "#", type_=cls)

@@ -68,6 +68,24 @@ def test_minhash_near_duplicates(spark, docs):
     assert not any(4 in p for p in found)  # unrelated doc never pairs
 
 
+def test_minhash_engines_agree(spark, docs):
+    """Arrow (numpy kernel) and SQL (Catalyst HOF) signature engines are
+    different uniform hashes with the same Broder banding math: at the
+    oracle banding (miss prob ~1e-8 for J >= threshold) both must emit the
+    IDENTICAL final pair set, with identical exact-Jaccard values (the
+    rescore definition is shared)."""
+    from sdk_spark.operators.dedup import near_duplicates_minhash
+
+    def run(engine):
+        return {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in near_duplicates_minhash(
+                    docs, threshold=0.5, num_hashes=64, bands=32,
+                    engine=engine).collect()}
+
+    arrow, sql = run("arrow"), run("sql")
+    assert arrow == sql and arrow
+
+
 def test_simhash_near_duplicates(spark, docs):
     from sdk_spark.operators.dedup import simhash_candidates
 
