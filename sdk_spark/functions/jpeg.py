@@ -1,18 +1,22 @@
-"""Baseline JPEG (JFIF) codec in pure numpy — no codec libraries.
+"""JPEG (JFIF) codec in pure numpy — no codec libraries.
 
-Implements the ITU-T T.81 baseline sequential process: 8×8 block DCT,
-Annex-K quantization + Huffman tables, 4:4:4 sampling (encoder), and a
-decoder that additionally handles grayscale and 2×2/2×1 chroma subsampling.
-Written for the engine's multimodal tier (north-rule: ``fmt ∈ {png, jpeg,
-webp}`` with a decoded-pixel PSNR invariant — JPEG is the lossy case the
-PSNR≥40dB criterion exists for).  Round 1 stubbed this behind
-NotImplementedError; this replaces the stub with a real decode path.
+Implements the ITU-T T.81 baseline sequential process (SOF0/SOF1) AND the
+progressive DCT process (SOF2: spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB-run coding), with
+restart intervals (DRI/RSTn: DC-predictor + EOB-run reset and bit
+realignment at every marker) in both processes.  8×8 block DCT, Annex-K
+quantization + Huffman tables, 4:4:4 sampling (encoder), grayscale and
+2×2/2×1 chroma subsampling (decoder).  Written for the engine's multimodal
+tier (north-rule: ``fmt ∈ {png, jpeg, webp}`` with a decoded-pixel PSNR
+invariant — JPEG is the lossy case the PSNR≥40dB criterion exists for);
+progressive is the dominant real-crawl encoding, so the decoder treats it
+as first-class, and a progressive *encoder* (libjpeg-style scan script
+incl. AC refinement) exists so fixtures need no external images.
 
-Scope: baseline DCT process only (SOF0), no progressive (SOF2), no
-arithmetic coding, no restart intervals in the encoder (the decoder skips
-RST markers).  Throughput is Arrow-batch adequate for the small synthetic
-tiles the fixtures use; a production deployment swaps in libjpeg-turbo
-behind the same two functions.
+Scope: no arithmetic coding (SOF9+ raises), no hierarchical process.
+Throughput is Arrow-batch adequate for the small synthetic tiles the
+fixtures use; a production deployment swaps in libjpeg-turbo behind the
+same functions.
 """
 
 from __future__ import annotations
@@ -176,11 +180,10 @@ def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, hh // 8, ww // 8
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
-    baseline 4:4:4 JFIF JPEG."""
-    gray = arr.ndim == 2
-    if gray:
+def _quantized_coeffs(arr: np.ndarray, quality: int):
+    """Shared encoder front half: color transform, block DCT, quantize.
+    Returns (planes_count, h, w, [(nblocks, 64) zigzag int32], [qt])."""
+    if arr.ndim == 2:
         arr = arr[..., None]
     h, w = arr.shape[:2]
     if arr.shape[2] == 3:
@@ -190,25 +193,63 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
         planes = [arr[..., 0].astype(np.float64)]
     qy, qc = _scaled_tables(quality)
     qts = [qy] + ([qc] if len(planes) > 1 else [])
-
     C = _dct_matrix()
-    comp_coeffs = []
+    comp_zz = []
     for ci, plane in enumerate(planes):
         blocks, _, _ = _blockify(plane - 128.0)
         coef = np.einsum("ij,njk,lk->nil", C, blocks, C)
         q = qts[min(ci, 1)].reshape(8, 8)
-        comp_coeffs.append(np.round(coef / q).astype(np.int32))
+        comp_zz.append(np.round(coef / q).astype(np.int32)
+                       .reshape(-1, 64)[:, ZIGZAG])
+    return len(planes), h, w, comp_zz, qts
+
+
+def _headers(h: int, w: int, nc: int, qts, sof: int, huffs,
+             dri: int = 0) -> bytearray:
+    out = bytearray(b"\xFF\xD8")                       # SOI
+    out += b"\xFF\xE0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" \
+        + b"\x00\x01\x00\x01\x00\x00"                  # APP0
+    for tid, qt in enumerate(qts):
+        # DQT carries the table in zigzag order: segment[k] = Q[ZIGZAG[k]]
+        out += b"\xFF\xDB" + (67).to_bytes(2, "big") + bytes([tid]) \
+            + bytes(int(x) for x in qt[ZIGZAG])
+    if dri:
+        out += b"\xFF\xDD" + (4).to_bytes(2, "big") + dri.to_bytes(2, "big")
+    out += bytes([0xFF, sof]) + (8 + 3 * nc).to_bytes(2, "big") + b"\x08" \
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, min(ci, 1)])       # id, 1x1, qtable
+    for tc, (bits, vals) in huffs:
+        out += b"\xFF\xC4" + (19 + len(vals)).to_bytes(2, "big") \
+            + bytes([tc]) + bytes(bits[1:]) + bytes(vals)
+    return out
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 95,
+                restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array (or (h, w) grayscale) as a
+    baseline 4:4:4 JFIF JPEG.  ``restart_interval`` > 0 emits a DRI segment
+    and an RSTn marker (with bit padding + DC-predictor reset) every that
+    many MCUs — the fixture generator for the decoder's restart path."""
+    nc, h, w, comp_zz, qts = _quantized_coeffs(arr, quality)
+    planes = range(nc)
 
     dc_tabs = [_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA)]
     ac_tabs = [_build_codes(*AC_LUMA), _build_codes(*AC_CHROMA)]
 
     bw = _BitWriter()
-    pred = [0] * len(planes)
-    nblocks = comp_coeffs[0].shape[0]
+    pred = [0] * nc
+    nblocks = comp_zz[0].shape[0]
+    rst_n = 0
     for bi in range(nblocks):
-        for ci in range(len(planes)):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+            rst_n += 1
+            pred = [0] * nc
+        for ci in planes:
             t = min(ci, 1)
-            zz = comp_coeffs[ci][bi].flatten()[ZIGZAG]
+            zz = comp_zz[ci][bi]
             diff = int(zz[0]) - pred[ci]
             pred[ci] = int(zz[0])
             size, bits = _magnitude(diff)
@@ -238,24 +279,10 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
                 bw.write(code, length)
     bw.flush()
 
-    out = bytearray(b"\xFF\xD8")                       # SOI
-    out += b"\xFF\xE0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x01\x00" \
-        + b"\x00\x01\x00\x01\x00\x00"                  # APP0
-    for tid, qt in enumerate(qts):
-        # DQT carries the table in zigzag order: segment[k] = Q[ZIGZAG[k]]
-        out += b"\xFF\xDB" + (67).to_bytes(2, "big") + bytes([tid]) \
-            + bytes(int(x) for x in qt[ZIGZAG])
-    nc = len(planes)
-    out += b"\xFF\xC0" + (8 + 3 * nc).to_bytes(2, "big") + b"\x08" \
-        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([nc])
-    for ci in range(nc):
-        out += bytes([ci + 1, 0x11, min(ci, 1)])       # id, 1x1, qtable
     huffs = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
     if nc > 1:
         huffs += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
-    for tc, (bits, vals) in huffs:
-        out += b"\xFF\xC4" + (19 + len(vals)).to_bytes(2, "big") \
-            + bytes([tc]) + bytes(bits[1:]) + bytes(vals)
+    out = _headers(h, w, nc, qts, 0xC0, huffs, dri=restart_interval)
     out += b"\xFF\xDA" + (6 + 2 * nc).to_bytes(2, "big") + bytes([nc])
     for ci in range(nc):
         out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -265,30 +292,219 @@ def encode_jpeg(arr: np.ndarray, quality: int = 95) -> bytes:
     return bytes(out)
 
 
+# -- progressive encoder -----------------------------------------------------------
+
+#: a "flat" AC Huffman table for progressive scans: 255 symbols at 8 bits
+#: (Kraft-complete minus one code).  Annex-K AC tables lack the EOBn
+#: (n ≥ 1) symbols progressive EOB-run coding emits; a flat table keeps the
+#: encoder table-driven without Huffman optimization passes.  Compression
+#: suffers (~8 bits/symbol) — irrelevant for fixtures.
+AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 0, 0, 0, 0, 0, 0, 0, 0],
+           list(range(255)))
+
+
+class _ProgState:
+    """Per-scan EOB-run accumulator + buffered refinement bits."""
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _flush_eobrun(bw: _BitWriter, ac_tab, st: _ProgState) -> None:
+    if st.eobrun > 0:
+        n = st.eobrun.bit_length() - 1
+        code, length = ac_tab[n << 4]
+        bw.write(code, length)
+        if n:
+            bw.write(st.eobrun - (1 << n), n)
+        st.eobrun = 0
+    for b in st.bits:
+        bw.write(b, 1)
+    st.bits = []
+
+
+def _rst(bw: _BitWriter, n: int) -> None:
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (n & 7)])
+
+
+def _enc_dc_scan(bw, comp_zz, dc_tabs, ah, al, ri: int = 0) -> None:
+    nc = len(comp_zz)
+    pred = [0] * nc
+    rst_n = 0
+    for bi in range(comp_zz[0].shape[0]):
+        if ri and bi and bi % ri == 0:
+            _rst(bw, rst_n)
+            rst_n += 1
+            pred = [0] * nc
+        for ci in range(nc):
+            v = int(comp_zz[ci][bi][0]) >> al   # DC point transform: >>
+            if ah == 0:
+                diff = v - pred[ci]
+                pred[ci] = v
+                size, bits = _magnitude(diff)
+                code, length = dc_tabs[min(ci, 1)][size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+            else:
+                bw.write(v & 1, 1)              # refinement bit
+
+
+def _enc_ac_first(bw, zz, ss, se, al, ac_tab, st: _ProgState) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        t2 = abs(t) >> al                       # AC point transform: /2^al
+        if t2 == 0:
+            r += 1
+            continue
+        _flush_eobrun(bw, ac_tab, st)
+        while r > 15:
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            r -= 16
+        s = t2.bit_length()
+        code, length = ac_tab[(r << 4) | s]
+        bw.write(code, length)
+        bw.write(t2 if t > 0 else (~t2) & ((1 << s) - 1), s)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(bw, ac_tab, st)
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, ac_tab, st: _ProgState) -> None:
+    """T.81 G.1.2.3 encode side (libjpeg-style correction-bit buffering)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    r = 0
+    br_bits: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            _flush_eobrun(bw, ac_tab, st)
+            code, length = ac_tab[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits = []
+        if t > 1:                               # already significant
+            br_bits.append(t & 1)
+            continue
+        _flush_eobrun(bw, ac_tab, st)           # newly significant
+        code, length = ac_tab[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+        for b in br_bits:
+            bw.write(b, 1)
+        br_bits = []
+        r = 0
+    if r > 0 or br_bits:
+        st.eobrun += 1
+        st.bits.extend(br_bits)
+        if st.eobrun == 0x7FFF or len(st.bits) > 900:
+            _flush_eobrun(bw, ac_tab, st)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, quality: int = 95,
+                            restart_interval: int = 0) -> bytes:
+    """Encode as a progressive (SOF2) 4:4:4 JFIF JPEG with a libjpeg-style
+    scan script: DC first (Al=1) → per-component AC first (Al=1) → DC
+    refinement → per-component AC refinement, exercising spectral
+    selection, successive approximation, EOB runs, and correction bits.
+    ``restart_interval`` > 0 emits RSTn every that many MCUs in EVERY scan
+    (EOB runs flushed at the boundary, per T.81)."""
+    nc, h, w, comp_zz, qts = _quantized_coeffs(arr, quality)
+    dc_tabs = [_build_codes(*DC_LUMA), _build_codes(*DC_CHROMA)]
+    ac_flat = _build_codes(*AC_FLAT)
+
+    huffs = [(0x00, DC_LUMA), (0x10, AC_FLAT)]
+    if nc > 1:
+        huffs += [(0x01, DC_CHROMA), (0x11, AC_FLAT)]
+    out = _headers(h, w, nc, qts, 0xC2, huffs, dri=restart_interval)
+
+    def sos(comps, ss, se, ah, al, entropy: bytes) -> None:
+        ns = len(comps)
+        seg = bytes([ns])
+        for ci in comps:
+            seg += bytes([ci + 1, (min(ci, 1) << 4) | min(ci, 1)])
+        seg += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xFF\xDA" + (2 + len(seg)).to_bytes(2, "big") + seg)
+        out.extend(entropy)
+
+    ri = restart_interval
+
+    def ac_scan(ci, enc_fn, al):
+        bw = _BitWriter()
+        st = _ProgState()
+        rst_n = 0
+        for bi in range(comp_zz[ci].shape[0]):
+            if ri and bi and bi % ri == 0:
+                _flush_eobrun(bw, ac_flat, st)
+                _rst(bw, rst_n)
+                rst_n += 1
+            enc_fn(bw, comp_zz[ci][bi], 1, 63, al, ac_flat, st)
+        _flush_eobrun(bw, ac_flat, st)
+        bw.flush()
+        return bytes(bw.out)
+
+    # scan 1: DC first, all components, Al=1
+    bw = _BitWriter()
+    _enc_dc_scan(bw, comp_zz, dc_tabs, ah=0, al=1, ri=ri)
+    bw.flush()
+    sos(list(range(nc)), 0, 0, 0, 1, bytes(bw.out))
+    # scans 2..: AC first per component, Al=1
+    for ci in range(nc):
+        sos([ci], 1, 63, 0, 1, ac_scan(ci, _enc_ac_first, 1))
+    # DC refinement, all components, Ah=1 → Al=0
+    bw = _BitWriter()
+    _enc_dc_scan(bw, comp_zz, dc_tabs, ah=1, al=0, ri=ri)
+    bw.flush()
+    sos(list(range(nc)), 0, 0, 1, 0, bytes(bw.out))
+    # AC refinement per component, Ah=1 → Al=0
+    for ci in range(nc):
+        sos([ci], 1, 63, 1, 0, ac_scan(ci, _enc_ac_refine, 0))
+    out += b"\xFF\xD9"                          # EOI
+    return bytes(out)
+
+
 # -- decoder ---------------------------------------------------------------------
 
 class _BitReader:
-    def __init__(self, data: bytes):
+    """Entropy-coded-segment reader.
+
+    Stops feeding at ANY real marker (RSTn included) — the scan loop is the
+    one that consumes restart markers via ``restart()``, which byte-aligns
+    and drops buffered bits so the next MCU decodes from a clean boundary
+    (ADVICE r2: skipping RSTs inline without a predictor reset silently
+    corrupted every restart-interval image)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.pos = 0
+        self.pos = pos
         self.acc = 0
         self.nbits = 0
 
     def _fill(self) -> None:
         while self.nbits <= 24 and self.pos < len(self.data):
             byte = self.data[self.pos]
-            self.pos += 1
             if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                if nxt == 0x00:
-                    self.pos += 1          # stuffed byte
-                elif 0xD0 <= nxt <= 0xD7:
-                    self.pos += 1          # restart marker: skip
-                    continue
-                else:
-                    # real marker (EOI): feed zero bits from here on
-                    self.pos = len(self.data)
-                    byte = 0
+                nxt = (self.data[self.pos + 1]
+                       if self.pos + 1 < len(self.data) else 0xD9)
+                if nxt != 0x00:
+                    return                 # real marker: stop here
+                self.pos += 2              # stuffed 0xFF00 → literal 0xFF
+            else:
+                self.pos += 1
             self.acc = (self.acc << 8) | byte
             self.nbits += 8
 
@@ -296,7 +512,7 @@ class _BitReader:
         if n == 0:
             return 0
         self._fill()
-        if self.nbits < n:
+        if self.nbits < n:                 # past scan end: zero-pad
             self.acc <<= (n - self.nbits)
             self.nbits = n
         v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
@@ -313,23 +529,158 @@ class _BitReader:
                 return sym
         raise ValueError("invalid huffman code")
 
+    def restart(self) -> None:
+        """Byte-align, consume the RSTn marker, clear buffered bits."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF:
+                nxt = self.data[self.pos + 1]
+                if 0xD0 <= nxt <= 0xD7:
+                    self.pos += 2
+                    return
+                if nxt != 0x00:
+                    return                 # unexpected marker: scan ends
+            self.pos += 1
+
+    def scan_end(self) -> int:
+        """Index just past this scan's entropy data (next non-RST marker)."""
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] not in (0x00,) \
+                    and not (0xD0 <= self.data[p + 1] <= 0xD7):
+                return p
+            p += 1
+        return len(self.data)
+
 
 def _extend(v: int, size: int) -> int:
     return v if size == 0 or v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _refine_nonzero(br: "_BitReader", coef: np.ndarray, k: int, p1: int) -> None:
+    """AC refinement correction bit for an already-nonzero coefficient
+    (T.81 G.1.2.3: append one magnitude bit, toward ±infinity)."""
+    if br.read(1) and not (abs(int(coef[k])) & p1):
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+class _ScanState:
+    def __init__(self, ncomp: int):
+        self.pred = [0] * ncomp
+        self.eobrun = 0
+
+    def reset(self) -> None:
+        self.pred = [0] * len(self.pred)
+        self.eobrun = 0
+
+
+def _decode_block(br, coef, st, ci, scan, dc_tab, ac_tab, progressive):
+    """Decode one block's contribution for the current scan into ``coef``
+    (a length-64 int32 view in ZIGZAG order)."""
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if not progressive:
+        size = br.huff(dc_tab)
+        st.pred[ci] += _extend(br.read(size), size)
+        coef[0] = st.pred[ci]
+        k = 1
+        while k < 64:
+            sym = br.huff(ac_tab)
+            if sym == 0x00:
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index out of range")
+            coef[k] = _extend(br.read(size), size)
+            k += 1
+        return
+    if ss == 0:                            # DC scan
+        if ah == 0:                        # first pass
+            size = br.huff(dc_tab)
+            st.pred[ci] += _extend(br.read(size), size)
+            coef[0] = st.pred[ci] << al
+        else:                              # refinement: one bit per block
+            if br.read(1):
+                coef[0] = int(coef[0]) | (1 << al)
+        return
+    if ah == 0:                            # AC first pass (EOB-run coded)
+        if st.eobrun > 0:
+            st.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            sym = br.huff(ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:                # ZRL
+                    k += 16
+                    continue
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += br.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index out of range")
+            coef[k] = _extend(br.read(s), s) << al
+            k += 1
+        return
+    # AC refinement (T.81 G.1.2.3)
+    p1 = 1 << al
+    k = ss
+    if st.eobrun == 0:
+        while k <= se:
+            sym = br.huff(ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:                # EOBn: rest of band is refinement
+                    st.eobrun = (1 << r)
+                    if r:
+                        st.eobrun += br.read(r)
+                    break
+                # r == 15 → ZRL: skip 16 zero-history coefficients
+            else:
+                val = p1 if br.read(1) else -p1
+            while k <= se:
+                if coef[k] != 0:
+                    _refine_nonzero(br, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if st.eobrun > 0:                      # refine the remaining nonzeros
+        while k <= se:
+            if coef[k] != 0:
+                _refine_nonzero(br, coef, k, p1)
+            k += 1
+        st.eobrun -= 1
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0) JPEG to (h, w, 3) uint8 RGB (grayscale is
-    broadcast to 3 channels for a uniform downstream shape)."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (h, w, 3) uint8 RGB (grayscale is broadcast to 3 channels for a uniform
+    downstream shape).  Restart intervals are honored in both processes."""
     if payload[:2] != b"\xFF\xD8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
-    scan = None
-    data_start = None
-    while pos < len(payload):
+    progressive = False
+    dri = 0
+    coefs: list[np.ndarray] = []           # per-comp (bh, bw, 64) zigzag
+    geom = None
+    saw_scan = False
+    while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
@@ -349,7 +700,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raw = seg[p + 1:p + 1 + n]
                 q = (np.frombuffer(raw, dtype=">u2") if prec
                      else np.frombuffer(raw, dtype=np.uint8)).astype(np.int32)
-                qtables[tid] = q[UNZIGZAG]
+                qtables[tid] = q.copy()    # keep zigzag order (coefs match)
                 p += 1 + n
         elif marker == 0xC4:
             p = 0
@@ -360,7 +711,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[p + 17:p + 17 + nv])
                 htables[tc] = _build_decode(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:
+        elif marker == 0xDD:
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -369,85 +723,113 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            geom = {"hmax": hmax, "vmax": vmax,
+                    "mcus_x": mcus_x, "mcus_y": mcus_y}
+            for c in comps:
+                coefs.append(np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline (SOF0/SOF1) JPEG is supported")
+            raise ValueError(
+                "only baseline (SOF0/SOF1) and progressive (SOF2) JPEG "
+                "processes are supported")
         elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
-            mapping = {}
+            scan_comps = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
-                mapping[cs] = (tdta >> 4, tdta & 0x0F)
-            scan = mapping
-            data_start = pos + seglen
-            break
+                ci = next(i for i, c in enumerate(frame["comps"])
+                          if c["id"] == cs)
+                scan_comps.append((ci, tdta >> 4, tdta & 0x0F))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            scan = {"ss": ss, "se": se, "ah": a >> 4, "al": a & 0x0F,
+                    "comps": scan_comps}
+            br = _BitReader(payload, pos + seglen)
+            _decode_scan(br, scan, frame, geom, coefs, htables, dri,
+                         progressive)
+            saw_scan = True
+            pos = br.scan_end()
+            continue
         pos += seglen
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("missing SOF/SOS segment")
 
-    comps = frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-frame["w"] // mcu_w)
-    mcus_y = -(-frame["h"] // mcu_h)
-
+    # dequantize + batched IDCT + assemble
     C = _dct_matrix()
-    planes = []
-    for c in comps:
-        bw = mcus_x * c["h"]
-        bh = mcus_y * c["v"]
-        planes.append(np.zeros((bh * 8, bw * 8), dtype=np.float64))
-
-    br = _BitReader(payload[data_start:])
-    pred = [0] * len(comps)
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            for ci, c in enumerate(comps):
-                td, ta = scan[c["id"]]
-                dc_tab = htables[td]           # class 0, id td
-                ac_tab = htables[0x10 | ta]
-                q = qtables[c["tq"]].reshape(8, 8)
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = br.huff(dc_tab)
-                        diff = _extend(br.read(size), size)
-                        pred[ci] += diff
-                        zz[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            sym = br.huff(ac_tab)
-                            if sym == 0x00:
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if sym == 0xF0:
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC index out of range")
-                            zz[k] = _extend(br.read(size), size)
-                            k += 1
-                        block = (zz[UNZIGZAG].reshape(8, 8) * q).astype(np.float64)
-                        pix = C.T @ block @ C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
-
     h, w = frame["h"], frame["w"]
+    hmax, vmax = geom["hmax"], geom["vmax"]
     full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
+    for ci, c in enumerate(frame["comps"]):
+        q = qtables[c["tq"]]               # zigzag order, like coefs
+        bh, bw_, _ = coefs[ci].shape
+        deq = (coefs[ci] * q)[:, :, UNZIGZAG].reshape(bh, bw_, 8, 8)
+        pix = np.einsum("ij,xyjk,lk->xyil", C.T, deq.astype(np.float64), C.T)
+        plane = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8) + 128.0
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        full.append(plane[:h, :w])
     if len(full) == 1:
         y = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _decode_scan(br, scan, frame, geom, coefs, htables, dri, progressive):
+    comps = frame["comps"]
+    st = _ScanState(len(comps))
+    interleaved = len(scan["comps"]) > 1
+
+    def tabs(td, ta):
+        dc = htables.get(td)
+        ac = htables.get(0x10 | ta)
+        return dc, ac
+
+    def maybe_restart(n_done, n_total):
+        if dri and n_done % dri == 0 and n_done < n_total:
+            br.restart()
+            st.reset()
+
+    if interleaved:
+        mcus_x, mcus_y = geom["mcus_x"], geom["mcus_y"]
+        total = mcus_x * mcus_y
+        n = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for (ci, td, ta) in scan["comps"]:
+                    c = comps[ci]
+                    dc_tab, ac_tab = tabs(td, ta)
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = coefs[ci][my * c["v"] + by,
+                                             mx * c["h"] + bx]
+                            _decode_block(br, coef, st, ci, scan,
+                                          dc_tab, ac_tab, progressive)
+                n += 1
+                maybe_restart(n, total)
+        return
+    (ci, td, ta) = scan["comps"][0]
+    c = comps[ci]
+    # non-interleaved geometry: ceil of the COMPONENT dimensions, not the
+    # MCU-padded grid (T.81 A.2.2)
+    cw = -(-frame["w"] * c["h"] // geom["hmax"])
+    ch = -(-frame["h"] * c["v"] // geom["vmax"])
+    nbw, nbh = -(-cw // 8), -(-ch // 8)
+    dc_tab, ac_tab = tabs(td, ta)
+    total = nbw * nbh
+    for i in range(total):
+        by, bx = divmod(i, nbw)
+        _decode_block(br, coefs[ci][by, bx], st, ci, scan,
+                      dc_tab, ac_tab, progressive)
+        maybe_restart(i + 1, total)
 
 
 def psnr_jpeg_roundtrip(arr: np.ndarray, quality: int = 95) -> float:

@@ -129,7 +129,8 @@ def _dims(i: int) -> tuple[int, int]:
 
 def make_row(i: int, seed: int = SEED, plant: bool = True,
              jpeg_fraction: float = 0.0,
-             webp_fraction: float = 0.0) -> tuple:
+             webp_fraction: float = 0.0,
+             progressive_fraction: float = 0.0) -> tuple:
     from ..functions.png import encode_png
 
     image_id = canonical_id(i, seed)
@@ -154,9 +155,17 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
     use_webp = (webp_fraction > 0 and not use_jpeg
                 and (i % 10) >= 10 - webp_fraction * 10)
     if use_jpeg:
-        from ..functions.jpeg import encode_jpeg
+        from ..functions.jpeg import encode_jpeg, encode_jpeg_progressive
 
-        payload = encode_jpeg(pixels, quality=95)
+        # a deterministic share of JPEG rows is progressive (the dominant
+        # real-crawl encoding), a third of those with restart intervals
+        if progressive_fraction > 0 and \
+                (i // 10) % 10 < progressive_fraction * 10:
+            payload = encode_jpeg_progressive(pixels, quality=95,
+                                              restart_interval=(i % 3))
+        else:
+            payload = encode_jpeg(pixels, quality=95,
+                                  restart_interval=4 if i % 5 == 0 else 0)
         fmt = "jpeg"
     elif use_webp:
         from ..functions.webp import encode_webp
@@ -188,9 +197,11 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
 
 def _gen_batches(batches: Iterator[pd.DataFrame], seed: int, plant: bool,
                  jpeg_fraction: float = 0.0,
-                 webp_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
+                 webp_fraction: float = 0.0,
+                 progressive_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = [make_row(int(i), seed, plant, jpeg_fraction, webp_fraction)
+        rows = [make_row(int(i), seed, plant, jpeg_fraction, webp_fraction,
+                         progressive_fraction)
                 for i in pdf["id"]]
         yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_TABLE_SCHEMA.fields])
 
@@ -198,19 +209,22 @@ def _gen_batches(batches: Iterator[pd.DataFrame], seed: int, plant: bool,
 def generate_images(spark: SparkSession, n: int, partitions: int = 32,
                     seed: int = SEED, plant: bool = True,
                     jpeg_fraction: float = 0.0,
-                    webp_fraction: float = 0.0) -> DataFrame:
+                    webp_fraction: float = 0.0,
+                    progressive_fraction: float = 0.0) -> DataFrame:
     """Distributed deterministic generation: every executor builds its own
     slice from row indices (Arrow-batched, no driver data movement).
 
     ``jpeg_fraction`` > 0 encodes that share of rows as baseline JPEG
-    (lossy tier; the PSNR invariant's reason to exist). The scaling bench
+    (lossy tier; the PSNR invariant's reason to exist);
+    ``progressive_fraction`` of the JPEG rows use the progressive (SOF2)
+    process, a share of them with restart intervals. The scaling bench
     keeps PNG-only input so its numbers measure the engine, not the
     pure-Python stand-in codec's throughput."""
     base = spark.range(0, n, 1, partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _gen_batches(batches, seed, plant, jpeg_fraction,
-                            webp_fraction)
+                            webp_fraction, progressive_fraction)
 
     return base.mapInPandas(gen, IMAGE_TABLE_SCHEMA)
 

@@ -132,3 +132,78 @@ def test_decode_image_webp_dispatch():
 
     img = np.full((5, 4, 3), 66, dtype=np.uint8)
     assert np.array_equal(decode_image(encode_webp(img)), img)
+
+
+# -- round-3: progressive (SOF2) + restart intervals -----------------------------
+
+def test_progressive_roundtrip_matches_baseline():
+    """Progressive decode of the same quantized coefficients must be
+    BIT-identical to the baseline decode (same DCT/quant; only the entropy
+    layering differs)."""
+    from sdk_spark.functions.jpeg import encode_jpeg_progressive
+
+    for shape in [(32, 48), (17, 23), (8, 8)]:
+        img = _gradient(*shape)
+        base = decode_jpeg(encode_jpeg(img, 95))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 95))
+        assert (prog == base).all(), shape
+
+
+def test_progressive_grayscale():
+    from sdk_spark.functions.jpeg import encode_jpeg_progressive
+
+    g = _gradient(24, 16)[:, :, 0]
+    base = decode_jpeg(encode_jpeg(g, 95))
+    prog = decode_jpeg(encode_jpeg_progressive(g, 95))
+    assert (prog == base).all()
+
+
+def test_restart_intervals_baseline_and_progressive():
+    """RSTn handling: predictor reset + bit realignment must reproduce the
+    no-restart decode exactly, for every interval (ADVICE r2: the old
+    decoder skipped RSTs inline and silently corrupted pixels)."""
+    from sdk_spark.functions.jpeg import encode_jpeg_progressive
+
+    img = _gradient(40, 24)
+    base = decode_jpeg(encode_jpeg(img, 95))
+    for ri in (1, 2, 3, 7):
+        assert (decode_jpeg(encode_jpeg(img, 95, restart_interval=ri))
+                == base).all(), f"baseline ri={ri}"
+        assert (decode_jpeg(
+            encode_jpeg_progressive(img, 95, restart_interval=ri))
+            == base).all(), f"progressive ri={ri}"
+
+
+def test_restart_marker_bytes_present():
+    img = _gradient(40, 24)
+    payload = encode_jpeg(img, 95, restart_interval=2)
+    assert b"\xFF\xDD" in payload                 # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in payload for i in range(8))
+
+
+def test_arithmetic_coding_still_rejected():
+    img = _gradient(16, 16)
+    payload = bytearray(encode_jpeg(img, 95))
+    i = payload.index(b"\xFF\xC0")
+    payload[i + 1] = 0xC9                          # SOF9: arithmetic
+    with pytest.raises(ValueError, match="baseline|progressive"):
+        decode_jpeg(bytes(payload))
+
+
+def test_image_job_with_progressive_mix(spark):
+    """The fused image job's PSNR invariant holds on a table whose JPEG
+    rows are half progressive (some with restart intervals): only the
+    planted defects are flagged (VERDICT r2 next-#4 'done' criterion)."""
+    from sdk_spark.operators.multimodal import pixel_caption_invariants
+    from sdk_spark.sources.images import (canonical_id,
+                                          expected_violation_ids,
+                                          generate_images)
+
+    n = 300
+    df = generate_images(spark, n, partitions=4, jpeg_fraction=0.4,
+                         progressive_fraction=0.5)
+    viol = pixel_caption_invariants(df).collect()
+    got_pixel = {r["image_id"] for r in viol
+                 if r["constraint_id"] == "ENGINE_PIXEL_MISMATCH"}
+    exp_pixel = {canonical_id(i) for i in expected_violation_ids(n)["pixel"]}
+    assert got_pixel == exp_pixel
