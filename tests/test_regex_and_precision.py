@@ -56,7 +56,9 @@ def test_python_only_patterns_rejected(pat):
     r"a+b*c?",
     r"\\Z",                    # escaped backslash + literal Z, fine
 ])
-def test_java_safe_patterns_accepted(pat):
+def test_java_safe_patterns_accepted(pat, spark):
+    # needs an active session: without a JVM to compile against, java_safe
+    # is deliberately conservative and returns False (ADVICE r2 #4)
     assert java_safe(pat)
 
 
@@ -210,3 +212,79 @@ def test_decimal_string_backed_bounds(spark):
     got = {r["rid"]: r["valid"] for r in
            CompiledSchema(schema, extended=True).validate(df).collect()}
     assert got == {0: False, 1: True, 2: True, 3: False}
+
+
+# -- round-3: documented reference divergences on string-backed numerics ----------
+
+def _ref_errors(ref_sdk, schema, instance):
+    from json_structure.instance_validator import JSONStructureInstanceValidator
+
+    v = JSONStructureInstanceValidator(schema, extended=True)
+    v.validate_instance(instance)
+    return v.errors
+
+
+def test_multipleof_string_backed_divergence_documented(spark, ref_sdk):
+    """DOCUMENTED DIVERGENCE (VERDICT r2 wrong-#5): ``multipleOf`` on a
+    string-backed wide numeric.
+
+    Reference: ``instance / multiple_of`` on a str raises TypeError →
+    EVERY value is flagged "Cannot evaluate multipleOf"
+    (instance_validator.py:879-888) — including true multiples.
+
+    Engine (kernel AND compiler, consistent with each other): parse the
+    digits and apply the same 1e-10 quotient rule used for native
+    numbers — deliberately MORE permissive, because flagging every row of
+    an int64-carrying column at 10^12 scale is a vacuous verdict.  The
+    trade-off: past 2^53 the double quotient loses precision, so
+    near-boundary non-multiples may pass; exactness there needs the
+    bounds-style digit arithmetic, not a quotient.
+    """
+    schema = {"$schema": META, "$id": "https://t.local/m", "name": "M",
+              "$uses": ["JSONStructureValidation"], "type": "object",
+              "properties": {"v": {"type": "int64", "multipleOf": 5}}}
+    # reference flags BOTH the true multiple and the non-multiple
+    assert _ref_errors(ref_sdk, schema, {"v": "25"})
+    assert _ref_errors(ref_sdk, schema, {"v": "26"})
+
+    from sdk_spark.rowcheck import RowChecker
+
+    rc = RowChecker(schema, extended=True)
+    assert rc.check({"v": "25"}) == []           # engine: true multiple OK
+    assert any(f.code == "INSTANCE_NUMBER_MULTIPLE_OF"
+               for f in rc.check({"v": "26"}))
+
+    df = spark.createDataFrame([(1, "25"), (2, "26")], "rid long, v string")
+    plan = CompiledSchema(schema, extended=True)
+    bad = {r["rid"] for r in violation_rows(plan.validate(df), ["rid"])
+           .where(F.col("constraint_id") == "INSTANCE_NUMBER_MULTIPLE_OF")
+           .collect()}
+    assert bad == {2}                            # compiler == kernel
+
+
+def test_bounds_string_backed_lexicographic_divergence(spark, ref_sdk):
+    """DOCUMENTED DIVERGENCE: bounds on string-backed numerics.
+
+    Reference: ``"9" < "10"`` compares LEXICOGRAPHICALLY (False in Python),
+    so a string-backed 9 passes ``minimum: "10"``
+    (instance_validator.py:838-848).  The engine compares numerically
+    (digit-string scheme, exact at any width) — the defensible semantics,
+    and the one the DuckDB oracle agrees with; this test pins both
+    behaviors so the divergence is intentional, not accidental.
+    """
+    schema = {"$schema": META, "$id": "https://t.local/b", "name": "B",
+              "$uses": ["JSONStructureValidation"], "type": "object",
+              "properties": {"v": {"type": "int64", "minimum": "10"}}}
+    # reference: lexicographic "9" < "10" is False → silently VALID
+    assert _ref_errors(ref_sdk, schema, {"v": "9"}) == []
+
+    from sdk_spark.rowcheck import RowChecker
+
+    rc = RowChecker(schema, extended=True)
+    assert any(f.code == "INSTANCE_NUMBER_MINIMUM"
+               for f in rc.check({"v": "9"}))    # engine: 9 < 10 numerically
+
+    df = spark.createDataFrame([(1, "9"), (2, "10")], "rid long, v string")
+    plan = CompiledSchema(schema, extended=True)
+    bad = {r["rid"] for r in violation_rows(plan.validate(df), ["rid"]).collect()}
+    assert bad == {1}                            # compiler == kernel
