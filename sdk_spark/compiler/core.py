@@ -868,8 +868,17 @@ class CompiledSchema:
 
     # -- plan application --------------------------------------------------------
     def validate(self, df: DataFrame) -> DataFrame:
-        """Append ``violations: array<struct<constraint_id,path,value>>`` and
-        ``valid: boolean`` in a single projection."""
+        """Append ``violations`` (array<struct<constraint_id,path,value>>,
+        one NULL-padded slot per compiled constraint), ``violation_count``
+        (int) and ``valid`` (boolean) in a single projection.
+
+        The array deliberately keeps NULL cells for passing constraints:
+        ``array_compact`` lowers to an ``ArrayFilter`` higher-order function
+        that Spark evaluates on the interpreted expression path — measured
+        5-8× slower than whole-stage-codegen at 6M rows — and CollapseProject
+        duplicates it into every downstream use.  Consumers read
+        ``violation_count``/``valid`` (plain codegen arithmetic) or
+        ``violation_rows`` (explode + null filter, both codegen)."""
         cons = self.constraints(df)
         cells = [
             F.when(~c.ok, F.struct(
@@ -880,11 +889,17 @@ class CompiledSchema:
             for c in cons
         ]
         if cells:
-            arr = F.array_compact(F.array(*cells))
+            arr = F.array(*cells)
+            # per-cell coalesce: a NULL ok (absent field) is not a violation
+            count = reduce(lambda a, b: a + b,
+                           [F.coalesce((~c.ok).cast("int"), F.lit(0))
+                            for c in cons])
         else:
-            arr = F.array().cast("array<struct<constraint_id:string,path:string,value:string>>")
+            arr = F.array().cast(VIOLATION_SCHEMA)
+            count = F.lit(0)
         return df.withColumn("violations", arr) \
-                 .withColumn("valid", F.size(F.col("violations")) == F.lit(0))
+                 .withColumn("violation_count", count) \
+                 .withColumn("valid", count == F.lit(0))
 
 
 def _root_null_ok(node: dict, col: Column) -> Column:
@@ -1058,14 +1073,17 @@ VIOLATION_SCHEMA = "array<struct<constraint_id:string,path:string,value:string>>
 def violation_rows(validated: DataFrame, key_cols: list[str]) -> DataFrame:
     """Explode the violations array into one row per (key, violation).
 
-    No pre-filter: ``explode`` (non-outer) already drops rows with empty
-    arrays, and a ``where(size(violations) > 0)`` would duplicate the whole
-    constraint-array computation into the Filter condition (measured 2-5x
-    slower at 1M rows — Catalyst does not CSE across Filter/Project here).
-    """
+    Explode-then-filter, both whole-stage-codegen: the array keeps a NULL
+    cell per passing constraint (see ``CompiledSchema.validate``), and a
+    post-Generate null filter is 5× cheaper than compacting the array with
+    an interpreted higher-order function before exploding.  No pre-filter
+    on size: ``where(violation_count > 0)`` would duplicate the whole
+    constraint computation into the Filter condition (Catalyst does not
+    CSE across Filter/Project here)."""
     v = F.explode(F.col("violations")).alias("v")
     return (validated
             .select(*key_cols, v)
+            .where(F.col("v").isNotNull())
             .select(*key_cols,
                     F.col("v.constraint_id").alias("constraint_id"),
                     F.col("v.path").alias("path"),
@@ -1082,5 +1100,6 @@ def partition_verdicts(validated: DataFrame,
             .agg(F.count(F.lit(1)).alias("rows"),
                  F.sum(F.col("valid").cast("long")).alias("valid_rows"),
                  F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-                 F.sum(F.size("violations").cast("long")).alias("violation_count"))
+                 F.sum(F.col("violation_count").cast("long"))
+                 .alias("violation_count"))
             .withColumn("passed", F.col("invalid_rows") == F.lit(0)))

@@ -57,7 +57,7 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
     slim = validated.select(
         key_col,
         F.spark_partition_id().alias("__part"),
-        "valid", "violations")
+        "valid", "violation_count", "violations")
     if persist_intermediate:
         # serialized, spillable: at 10^12 rows this is the difference
         # between one scan of the 100-TB table and four
@@ -65,6 +65,7 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
 
     v = F.explode(F.col("violations")).alias("v")
     row_viol = (slim.select(key_col, v)
+                .where(F.col("v").isNotNull())
                 .select(key_col,
                         F.col("v.constraint_id").alias("constraint_id"),
                         F.col("v.path").alias("path"),
@@ -89,7 +90,8 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
                 .agg(F.count(F.lit(1)).alias("rows"),
                      F.sum(F.col("valid").cast("long")).alias("valid_rows"),
                      F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-                     F.sum(F.size("violations").cast("long")).alias("violation_count"))
+                     F.sum(F.col("violation_count").cast("long"))
+                     .alias("violation_count"))
                 .withColumn("passed", F.col("invalid_rows") == F.lit(0)))
 
     return ImageValidationResult(

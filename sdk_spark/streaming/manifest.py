@@ -142,7 +142,7 @@ def validate_partition_metrics(validated: DataFrame) -> dict:
         F.count(F.lit(1)).alias("rows"),
         F.sum(F.col("valid").cast("long")).alias("valid_rows"),
         F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-        F.sum(F.size("violations").cast("long")).alias("violation_count"),
+        F.sum(F.col("violation_count").cast("long")).alias("violation_count"),
     ).collect()[0]
     return {k: row[k] or 0 for k in
             ("rows", "valid_rows", "invalid_rows", "violation_count")}

@@ -62,7 +62,7 @@ def running_verdicts(stream_df: DataFrame, schema_doc: dict, key_col: str,
     validated = plan.validate(stream_df).select(
         F.col(key_col).cast("string").alias("key"),
         F.col("valid"),
-        F.size("violations").alias("nv"))
+        F.col("violation_count").alias("nv"))
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState
                ) -> Iterator[pd.DataFrame]:

@@ -26,8 +26,9 @@ def streaming_violations(stream_df: DataFrame, schema_doc: dict,
                          key_cols: list[str]) -> DataFrame:
     validated = validate_stream(stream_df, schema_doc)
     v = F.explode("violations").alias("v")
-    return (validated.where(F.size("violations") > 0)
+    return (validated.where(F.col("violation_count") > 0)
             .select(*key_cols, v)
+            .where(F.col("v").isNotNull())
             .select(*key_cols,
                     F.col("v.constraint_id").alias("constraint_id"),
                     F.col("v.path").alias("path"),
@@ -45,5 +46,6 @@ def windowed_verdicts(stream_df: DataFrame, schema_doc: dict,
             .agg(F.count(F.lit(1)).alias("rows"),
                  F.sum(F.col("valid").cast("long")).alias("valid_rows"),
                  F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-                 F.sum(F.size("violations").cast("long")).alias("violation_count"))
+                 F.sum(F.col("violation_count").cast("long"))
+                 .alias("violation_count"))
             .withColumn("passed", F.col("invalid_rows") == F.lit(0)))
