@@ -1,0 +1,105 @@
+"""Local replica of the driver's CORRECTNESS gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet tables, then compares
+row count, name-sorted schema, and a hash of sorted stringified tuples —
+the same comparison the round driver records in CORRECTNESS_r{N}.json.
+
+Usage:  python tools/oracle_replica.py [sf_dir] [query ...]
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def make_duck(sf_dir: str):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def render(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return str(v).lower()
+        if isinstance(v, float):
+            return f"{v:.6g}"
+        return str(v)
+
+    return sorted(tuple(render(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[8]")
+             .config("spark.sql.shuffle.partitions", "16")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "8g")
+             .getOrCreate())
+    import __spark_entry__ as m
+    con = make_duck(sf)
+    qs, oras = m.queries(), m.oracle_sql()
+    fails, no_oracle = [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf)
+            scols = sorted(sdf.columns)
+            srows = normalize(sdf.collect(), sdf.columns)
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, f"spark error: {e}"))
+            continue
+        if name not in oras:
+            no_oracle.append((name, len(srows)))
+            continue
+        try:
+            cur = con.execute(oras[name])
+            ocols_raw = [d[0] for d in cur.description]
+            orows = normalize(cur.fetchall(), ocols_raw)
+            ocols = sorted(ocols_raw)
+        except Exception as e:  # noqa: BLE001
+            fails.append((name, f"duckdb error: {e}"))
+            continue
+        if scols != ocols:
+            fails.append((name, f"schema: spark={scols} oracle={ocols}"))
+        elif len(srows) != len(orows):
+            fails.append((name, f"rows: spark={len(srows)} "
+                                f"oracle={len(orows)}"))
+        elif srows != orows:
+            diff = next((i for i, (a, b) in enumerate(zip(srows, orows))
+                         if a != b), -1)
+            fails.append((name, f"hash: first diff at sorted row {diff}: "
+                                f"spark={srows[diff]} oracle={orows[diff]}"))
+        else:
+            print(f"  OK   {name:28s} {len(srows)} rows")
+    for name, n in no_oracle:
+        print(f"  --   {name:28s} {n} rows (no oracle)")
+    for name, msg in fails:
+        print(f"  FAIL {name:28s} {msg}")
+    print(f"{len(qs) - len(fails) - len(no_oracle)} ok, "
+          f"{len(no_oracle)} no-oracle, {len(fails)} FAIL")
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
