@@ -1,9 +1,10 @@
-"""Lossless WebP (VP8L) codec subset in pure Python — no codec libraries.
+"""WebP codec in pure Python — no codec libraries at runtime.
 
-Implements the VP8L bitstream (RIFF/WEBP/VP8L container, LSB-first
-bitstream, canonical prefix codes) for the subset the engine's synthetic
-multimodal tier needs:
+Container + lossless (VP8L) subset here; **lossy VP8 key frames decode
+fully** via ``vp8.py`` (all intra modes, segmentation, partitions, loop
+filter — bit-exact against libwebp in tests/test_vp8.py).
 
+VP8L (lossless):
 * **encoder**: literal-only ARGB coding (no transforms, no color cache, no
   LZ77 backreferences) — flat 8-bit codes for G/R/B channels, single-symbol
   simple codes for constant channels. Always valid VP8L; ~3 bytes/pixel.
@@ -12,11 +13,8 @@ multimodal tier needs:
   cache and LZ77 backreferences raise ``NotImplementedError`` with the
   feature name (subset decoder — the planted corpus never emits them).
 
-Caveat, stated honestly: this container has no reference WebP codec to
-cross-verify against, so conformance is validated by round-trip +
-bit-level structural tests only. The Spark-side plumbing (magic dispatch,
-mapInPandas batching, PSNR invariant — lossless ⇒ exact equality) is
-independent of that caveat.
+Remaining honest gaps, raised by feature name: VP8L transforms/cache/LZ77
+on the lossless side, and ALPH/ANIM chunks in extended containers.
 """
 
 from __future__ import annotations
@@ -241,7 +239,13 @@ def _read_prefix_code(br: _LsbBitReader, alphabet: int) -> _PrefixDecoder:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a literal-coded lossless VP8L stream to (h, w, 3) uint8 RGB."""
+    """Decode a WebP container to (h, w, 3) uint8 RGB.
+
+    Lossless VP8L (literal subset) decodes here; lossy VP8 key frames
+    dispatch to the full bit-exact decoder in ``vp8.py``.  Extended
+    (VP8X) containers are walked to their image chunk; alpha and
+    animation chunks raise by feature name.
+    """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP)")
     pos = 12
@@ -253,10 +257,14 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if tag == b"VP8L":
             vp8l = body
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            from .vp8 import decode_vp8_rgb
+            return decode_vp8_rgb(body)
+        if tag in (b"ALPH", b"ANIM", b"ANMF"):
             raise NotImplementedError(
                 f"webp feature not supported by the subset decoder: "
-                f"{tag.decode().strip()} (lossy/extended)")
+                f"{tag.decode().strip()}")
+        # VP8X and metadata chunks (ICCP/EXIF/XMP): skip to the image chunk
         pos += 8 + size + (size & 1)
     if vp8l is None or vp8l[:1] != b"\x2f":
         raise ValueError("missing VP8L chunk/signature")

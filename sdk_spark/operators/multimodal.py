@@ -45,10 +45,11 @@ DECODE_META_SCHEMA = T.StructType([
 def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
     """Decode one image payload by magic bytes.
 
-    PNG, baseline JPEG, and lossless WebP (VP8L) decode for real
-    (pure-Python codecs, ``sdk_spark.functions.png`` / ``.jpeg`` /
-    ``.webp``); lossy VP8 / extended VP8X webp raise NotImplementedError
-    (documented subset — no codec library in this environment)."""
+    PNG, JPEG (baseline + progressive), lossless WebP (VP8L) and lossy
+    WebP (full VP8 key-frame decode, bit-exact vs libwebp) decode for
+    real (pure-Python codecs, ``sdk_spark.functions.png`` / ``.jpeg`` /
+    ``.webp`` / ``.vp8``); WebP alpha/animation chunks raise
+    NotImplementedError by feature name (documented subset)."""
     from ..functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -60,8 +61,6 @@ def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
     if payload[:4] == b"RIFF":
         from ..functions.webp import decode_webp
 
-        # lossless VP8L decodes for real; lossy VP8/extended VP8X raise
-        # NotImplementedError inside (subset decoder, functions/webp.py)
         return decode_webp(payload)
     raise ValueError("unrecognized image payload")
 

@@ -58,9 +58,11 @@ def test_decode_image_dispatch():
     grad = _gradient(10, 10)
     assert psnr(decode_image(encode_jpeg(grad, 95)), grad) >= 40
     assert np.array_equal(decode_image(encode_png(grad)), grad)
+    # lossy VP8 is now a real decoder (test_vp8.py); a truncated VP8
+    # chunk is a malformed payload, not a missing feature
     lossy_vp8 = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
                  + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(lossy_vp8, fmt="webp")
 
 
@@ -117,10 +119,10 @@ def test_webp_codec_roundtrip():
     assert np.array_equal(decode_webp(encode_webp(solid)), solid)
     with _pytest.raises(ValueError):
         decode_webp(b"RIFX" + b"\x00" * 20)
-    # lossy VP8 chunk: honest NotImplementedError, not garbage pixels
+    # truncated lossy VP8 chunk: loud ValueError, not garbage pixels
     fake_vp8 = (b"RIFF" + (20).to_bytes(4, "little") + b"WEBP"
                 + b"VP8 " + (4).to_bytes(4, "little") + b"\x00" * 4)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_webp(fake_vp8)
 
 
