@@ -130,7 +130,8 @@ def _dims(i: int) -> tuple[int, int]:
 def make_row(i: int, seed: int = SEED, plant: bool = True,
              jpeg_fraction: float = 0.0,
              webp_fraction: float = 0.0,
-             progressive_fraction: float = 0.0) -> tuple:
+             progressive_fraction: float = 0.0,
+             lossy_webp_fraction: float = 0.0) -> tuple:
     from ..functions.png import encode_png
 
     image_id = canonical_id(i, seed)
@@ -170,7 +171,24 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
     elif use_webp:
         from ..functions.webp import encode_webp
 
-        payload = encode_webp(pixels)
+        # a deterministic share of webp rows is lossy VP8 (the dominant
+        # real-crawl webp flavor).  Rows whose reference content cannot
+        # survive 4:2:0 chroma subsampling at 40 dB (sawtooth chroma
+        # ramps) fall back to lossless so the PSNR invariant keeps its
+        # planted/clean separation; the gate is deterministic per row.
+        payload = None
+        if lossy_webp_fraction > 0 and \
+                (i // 10) % 10 < lossy_webp_fraction * 10:
+            from ..functions.vp8enc import encode_webp_lossy
+            from ..functions.webp import decode_webp
+
+            lossy = encode_webp_lossy(pixels, quality=95)
+            dec = decode_webp(lossy).astype(np.float64)
+            mse = float(np.mean((dec - pixels) ** 2))
+            if mse == 0 or 10 * np.log10(255.0 ** 2 / mse) >= 42.0:
+                payload = lossy
+        if payload is None:
+            payload = encode_webp(pixels)
         fmt = "webp"
     else:
         payload = encode_png(pixels)
@@ -198,10 +216,11 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
 def _gen_batches(batches: Iterator[pd.DataFrame], seed: int, plant: bool,
                  jpeg_fraction: float = 0.0,
                  webp_fraction: float = 0.0,
-                 progressive_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
+                 progressive_fraction: float = 0.0,
+                 lossy_webp_fraction: float = 0.0) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = [make_row(int(i), seed, plant, jpeg_fraction, webp_fraction,
-                         progressive_fraction)
+                         progressive_fraction, lossy_webp_fraction)
                 for i in pdf["id"]]
         yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_TABLE_SCHEMA.fields])
 
@@ -210,7 +229,8 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 32,
                     seed: int = SEED, plant: bool = True,
                     jpeg_fraction: float = 0.0,
                     webp_fraction: float = 0.0,
-                    progressive_fraction: float = 0.0) -> DataFrame:
+                    progressive_fraction: float = 0.0,
+                    lossy_webp_fraction: float = 0.0) -> DataFrame:
     """Distributed deterministic generation: every executor builds its own
     slice from row indices (Arrow-batched, no driver data movement).
 
@@ -224,7 +244,8 @@ def generate_images(spark: SparkSession, n: int, partitions: int = 32,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return _gen_batches(batches, seed, plant, jpeg_fraction,
-                            webp_fraction, progressive_fraction)
+                            webp_fraction, progressive_fraction,
+                            lossy_webp_fraction)
 
     return base.mapInPandas(gen, IMAGE_TABLE_SCHEMA)
 

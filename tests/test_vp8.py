@@ -223,3 +223,75 @@ def test_extracted_tables_shapes():
     assert list(t.ZIGZAG) == [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10,
                               7, 11, 14, 15]
     assert int(t.DC_QLOOKUP[-1]) == 157 and int(t.AC_QLOOKUP[-1]) == 284
+
+
+# ---------------------------------------------------------------------------
+# encoder (vp8enc): closed-loop, cross-validated by libwebp decoding the
+# streams to exactly the same planes as the engine decoder
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind,w,h,q", [
+    ("grad", 60, 44, 85),
+    ("grad", 33, 17, 95),
+    ("smooth", 64, 48, 70),
+    ("flat", 16, 16, 50),
+    ("noise", 32, 32, 90),
+])
+def test_encoder_streams_decode_identically_on_libwebp(kind, w, h, q):
+    from sdk_spark.functions import vp8
+    from sdk_spark.functions.vp8enc import encode_webp_lossy
+
+    img = _img(kind, w, h)
+    data = encode_webp_lossy(img, q)
+    ref_y, ref_u, ref_v = R.decode_yuv(data)
+    my_y, my_u, my_v = vp8.decode_vp8_yuv(R.vp8_chunk(data))
+    for name, mine, ref in (("Y", my_y, ref_y), ("U", my_u, ref_u),
+                            ("V", my_v, ref_v)):
+        assert (mine == ref).all(), name
+
+
+def test_encoder_psnr_at_high_quality():
+    from sdk_spark.functions.vp8enc import encode_webp_lossy
+    from sdk_spark.functions.webp import decode_webp
+
+    img = _img("grad", 60, 44)
+    out = decode_webp(encode_webp_lossy(img, 95))
+    assert _psnr(out, img) >= 40.0
+
+
+def test_encoder_no_libwebp_needed():
+    """The encoder/decoder pair is self-contained (no codec library):
+    round-trip through the pure-Python path only."""
+    from sdk_spark.functions.vp8enc import encode_webp_lossy
+    from sdk_spark.operators.multimodal import decode_image
+
+    img = _img("grad", 48, 32)
+    out = decode_image(encode_webp_lossy(img, 92))
+    assert out.shape == img.shape
+    assert _psnr(out, img) >= 35.0
+
+
+def test_generator_lossy_webp_rows(spark):
+    """generate_images(lossy_webp_fraction=...) plants real VP8 rows and
+    the image job's PSNR invariant still separates planted from clean."""
+    from sdk_spark.sources.images import generate_images
+    from sdk_spark.plans.image_job import validate_images
+
+    df = generate_images(spark, 60, partitions=2, webp_fraction=0.5,
+                         lossy_webp_fraction=0.8)
+    rows = df.select("image_id", "bytes", "fmt").collect()
+    lossy = [r for r in rows
+             if r["fmt"] == "webp" and bytes(r["bytes"][12:16]) == b"VP8 "]
+    assert lossy, "no lossy rows planted"
+    res = validate_images(df, check_pixels=True)
+    viol = res.violations.collect()
+    # planted mutations are still caught; no spurious PSNR violations on
+    # clean lossy rows (ids ending in planted slots are the only ones)
+    from sdk_spark.sources.images import expected_violation_ids
+    pixel_viol = {r["image_id"] for r in viol
+                  if r["constraint_id"] == "ENGINE_PIXEL_MISMATCH"}
+    from sdk_spark.sources.images import canonical_id
+    planted_content = {canonical_id(i) for i in range(60)
+                       if i % 100 in (9, 10)}
+    unexpected = pixel_viol - planted_content
+    assert not unexpected, f"spurious pixel violations: {unexpected}"
