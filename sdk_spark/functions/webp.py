@@ -56,25 +56,6 @@ class _LsbBitWriter:
         return bytes(self.out)
 
 
-class _LsbBitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def read(self, nbits: int) -> int:
-        while self.nbits < nbits:
-            byte = self.data[self.pos] if self.pos < len(self.data) else 0
-            self.pos += 1
-            self.acc |= byte << self.nbits
-            self.nbits += 8
-        v = self.acc & ((1 << nbits) - 1)
-        self.acc >>= nbits
-        self.nbits -= nbits
-        return v
-
-
 def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length), canonical assignment by (length, symbol)."""
     codes: dict[int, tuple[int, int]] = {}
@@ -87,28 +68,6 @@ def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
         code += 1
         prev_len = length
     return codes
-
-
-class _PrefixDecoder:
-    def __init__(self, lengths: dict[int, int]):
-        nonzero = {s: l for s, l in lengths.items() if l > 0}
-        if len(nonzero) == 1:
-            self.single = next(iter(nonzero))
-            self.table = {}
-            return
-        self.single = None
-        self.table = {cl: s for s, cl in _canonical_codes(nonzero).items()}
-
-    def decode(self, br: _LsbBitReader) -> int:
-        if self.single is not None:
-            return self.single
-        code = 0
-        for length in range(1, 16):
-            code = (code << 1) | br.read(1)
-            sym = self.table.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid prefix code")
 
 
 # -- encoder -------------------------------------------------------------------
@@ -194,110 +153,53 @@ def encode_webp(arr: np.ndarray) -> bytes:
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
 
 
-# -- decoder -------------------------------------------------------------------
+def decode_webp(payload: bytes, return_alpha: bool = False) -> np.ndarray:
+    """Decode a WebP container to (h, w, 3) uint8 RGB (or RGBA with
+    ``return_alpha``).
 
-def _read_prefix_code(br: _LsbBitReader, alphabet: int) -> _PrefixDecoder:
-    if br.read(1):  # simple
-        num_symbols = br.read(1) + 1
-        sym0 = br.read(8) if br.read(1) else br.read(1)
-        if num_symbols == 2:
-            return _PrefixDecoder({sym0: 1, br.read(8): 1})
-        return _PrefixDecoder({sym0: 1})  # zero bits consumed per decode
-    num_code_lengths = 4 + br.read(4)
-    cl_lengths: dict[int, int] = {}
-    for i in range(num_code_lengths):
-        ln = br.read(3)
-        if ln:
-            cl_lengths[K_CODE_LENGTH_ORDER[i]] = ln
-    cl_dec = _PrefixDecoder(cl_lengths)
-    if br.read(1):  # use max_symbol
-        length_nbits = 2 + 2 * br.read(3)
-        max_symbol = 2 + br.read(length_nbits)
-    else:
-        max_symbol = alphabet
-    lengths: dict[int, int] = {}
-    symbol = 0
-    prev_len = 8
-    while symbol < alphabet and max_symbol > 0:
-        max_symbol -= 1
-        code_len = cl_dec.decode(br)
-        if code_len < 16:
-            if code_len:
-                lengths[symbol] = code_len
-                prev_len = code_len
-            symbol += 1
-        elif code_len == 16:
-            for _ in range(3 + br.read(2)):
-                if symbol < alphabet:
-                    lengths[symbol] = prev_len
-                    symbol += 1
-        elif code_len == 17:
-            symbol += 3 + br.read(3)
-        else:  # 18
-            symbol += 11 + br.read(7)
-    return _PrefixDecoder(lengths)
-
-
-def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a WebP container to (h, w, 3) uint8 RGB.
-
-    Lossless VP8L (literal subset) decodes here; lossy VP8 key frames
-    dispatch to the full bit-exact decoder in ``vp8.py``.  Extended
-    (VP8X) containers are walked to their image chunk; alpha and
-    animation chunks raise by feature name.
+    Full-bitstream decoders for both flavors: lossless VP8L (all
+    transforms, color cache, LZ77, meta prefix codes — ``vp8l.py``) and
+    lossy VP8 key frames (``vp8.py``), each proven bit-exact against
+    libwebp in tests.  Extended (VP8X) containers are walked to their
+    chunks; ALPH alpha planes decode for real (raw + lossless, all four
+    prediction filters).  Animation chunks raise by feature name.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP)")
     pos = 12
-    vp8l = None
+    alpha_body = None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
         body = payload[pos + 8:pos + 8 + size]
         if tag == b"VP8L":
-            vp8l = body
-            break
+            from .vp8l import decode_vp8l
+
+            # VP8L carries its own alpha channel
+            out = decode_vp8l(body, return_alpha=return_alpha)
+            return out
         if tag == b"VP8 ":
             from .vp8 import decode_vp8_rgb
-            return decode_vp8_rgb(body)
-        if tag in (b"ALPH", b"ANIM", b"ANMF"):
+
+            rgb = decode_vp8_rgb(body)
+            if not return_alpha:
+                return rgb
+            import numpy as _np
+
+            h, w = rgb.shape[:2]
+            if alpha_body is not None:
+                from .vp8l import decode_alpha
+
+                a = decode_alpha(alpha_body, w, h)
+            else:
+                a = _np.full((h, w), 255, dtype=_np.uint8)
+            return _np.dstack([rgb, a])
+        if tag == b"ALPH":
+            alpha_body = body
+        elif tag in (b"ANIM", b"ANMF"):
             raise NotImplementedError(
                 f"webp feature not supported by the subset decoder: "
                 f"{tag.decode().strip()}")
-        # VP8X and metadata chunks (ICCP/EXIF/XMP): skip to the image chunk
+        # VP8X and metadata chunks (ICCP/EXIF/XMP): skip
         pos += 8 + size + (size & 1)
-    if vp8l is None or vp8l[:1] != b"\x2f":
-        raise ValueError("missing VP8L chunk/signature")
-    br = _LsbBitReader(vp8l[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)   # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    if br.read(1):
-        raise NotImplementedError(
-            "webp feature not supported by the subset decoder: transform")
-    if br.read(1):
-        raise NotImplementedError(
-            "webp feature not supported by the subset decoder: color cache")
-    if br.read(1):
-        raise NotImplementedError(
-            "webp feature not supported by the subset decoder: meta prefix")
-    green = _read_prefix_code(br, GREEN_ALPHABET)
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    _alpha = _read_prefix_code(br, 256)
-    _dist = _read_prefix_code(br, 40)
-    out = np.empty((h * w, 3), dtype=np.uint8)
-    for i in range(h * w):
-        s = green.decode(br)
-        if s >= 256:
-            raise NotImplementedError(
-                "webp feature not supported by the subset decoder: "
-                "LZ77 backreference")
-        g = s
-        r = red.decode(br)
-        b = blue.decode(br)
-        _alpha.decode(br)
-        out[i] = (r, g, b)
-    return out.reshape(h, w, 3)
+    raise ValueError("missing VP8L/VP8 image chunk")

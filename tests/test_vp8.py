@@ -180,13 +180,49 @@ def test_vp8x_container_walks_to_vp8():
     assert out.shape == (32, 32, 3)
 
 
-def test_alpha_chunk_raises_by_name():
+def test_lossy_alpha_decodes_exactly():
+    """VP8X + ALPH + VP8: the alpha plane decodes bit-exactly vs
+    libwebp's own RGBA output (lossless-compressed alpha, prediction
+    filters inverted per libwebp filters.c)."""
+    import ctypes
+
+    R.lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    R.lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
     from sdk_spark.functions.webp import decode_webp
 
-    alph = b"ALPH" + (4).to_bytes(4, "little") + b"\x00" * 4
-    body = b"WEBP" + alph
+    h, w = 70, 100
+    xx = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    yy = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    img = np.zeros((h, w, 4), np.uint8)
+    img[..., 0] = xx
+    img[..., 1] = yy
+    img[..., 2] = (xx + yy) / 2
+    img[..., 3] = np.clip(128 + 90 * np.sin(xx / 15) * np.cos(yy / 11),
+                          0, 255)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = R.lib.WebPEncodeRGBA(img.tobytes(), w, h, w * 4,
+                             ctypes.c_float(80.0), ctypes.byref(out))
+    data = ctypes.string_at(out, n)
+    R.lib.WebPFree(out)
+    w2 = ctypes.c_int()
+    h2 = ctypes.c_int()
+    p = R.lib.WebPDecodeRGBA(data, ctypes.c_size_t(len(data)),
+                             ctypes.byref(w2), ctypes.byref(h2))
+    ref = np.ctypeslib.as_array(p, shape=(h2.value, w2.value, 4)).copy()
+    R.lib.WebPFree(p)
+    mine = decode_webp(data, return_alpha=True)
+    assert mine.shape == (h, w, 4)
+    assert (mine[..., 3] == ref[..., 3]).all()          # alpha bit-exact
+    assert (mine[..., :3] == decode_webp(data)).all()   # rgb consistent
+
+
+def test_animation_raises_by_name():
+    from sdk_spark.functions.webp import decode_webp
+
+    anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
+    body = b"WEBP" + anim
     wrapped = b"RIFF" + len(body).to_bytes(4, "little") + body
-    with pytest.raises(NotImplementedError, match="ALPH"):
+    with pytest.raises(NotImplementedError, match="ANIM"):
         decode_webp(wrapped)
 
 
