@@ -246,3 +246,96 @@ def test_constraint_on_mismatched_type_crash_documented(ref_sdk_session):
     codes = [f.code for f in
              RowChecker(schema, extended=True).check({"v": True})]
     assert codes == ["INSTANCE_TYPE_MISMATCH"]
+
+
+# ---------------------------------------------------------------------------
+# richer region: nested objects, maps, conditional composition
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _nested_property(draw):
+    depth_kind = draw(st.sampled_from(["flat", "object", "map"]))
+    if depth_kind == "flat":
+        return draw(_property())
+    if depth_kind == "object":
+        names = draw(st.lists(st.sampled_from(["x", "y"]), min_size=1,
+                              max_size=2, unique=True))
+        props = {n: draw(_property()) for n in names}
+        node = {"type": "object", "properties": props}
+        req = draw(st.lists(st.sampled_from(names), unique=True,
+                            max_size=len(names)))
+        if req:
+            node["required"] = req
+        return node
+    return {"type": "map", "values": draw(_property())}
+
+
+@st.composite
+def _nested_value(draw, node):
+    t = node["type"]
+    if t == "object":
+        out = {}
+        for n, sub in node["properties"].items():
+            if draw(st.integers(0, 4)):
+                out[n] = draw(_value_for(sub))
+        return out
+    if t == "map":
+        n = draw(st.integers(0, 3))
+        return {f"k{i}": draw(_value_for(node["values"]))
+                for i in range(n)}
+    return draw(_value_for(node))
+
+
+@st.composite
+def nested_case(draw):
+    names = draw(st.lists(st.sampled_from(_NAMES), min_size=1,
+                          max_size=3, unique=True))
+    props = {n: draw(_nested_property()) for n in names}
+    schema = {"$schema": META, "$id": "https://fuzz.local/n", "name": "N",
+              "$uses": ["JSONStructureValidation"],
+              "type": "object", "properties": props}
+    instance = {}
+    for n in names:
+        if draw(st.integers(0, 5)):
+            instance[n] = draw(_nested_value(props[n]))
+    return schema, instance
+
+
+def _contains_bool_as_number(node, value) -> bool:
+    t = node.get("type")
+    if t in ("int32", "int64", "double"):
+        return isinstance(value, bool)
+    if t == "object" and isinstance(value, dict):
+        return any(_contains_bool_as_number(sub, value[n])
+                   for n, sub in node.get("properties", {}).items()
+                   if n in value)
+    if t == "map" and isinstance(value, dict):
+        return any(_contains_bool_as_number(node["values"], v)
+                   for v in value.values())
+    if t == "array" and isinstance(value, list):
+        return any(_contains_bool_as_number(node["items"], v)
+                   for v in value)
+    return False
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(nested_case())
+def test_kernel_matches_reference_nested(ref_sdk_session, c):
+    from hypothesis import assume
+
+    schema, instance = c
+    assume(not any(_contains_bool_as_number(sub, instance[n])
+                   for n, sub in schema["properties"].items()
+                   if n in instance))
+    from sdk_spark.rowcheck import RowChecker
+
+    mine = RowChecker(schema, extended=True).check(instance) == []
+    try:
+        ref = _ref_verdict(ref_sdk_session, schema, instance)
+    except TypeError:
+        return      # pinned crash region
+    assert mine == ref, (
+        f"verdict diverged (engine={'VALID' if mine else 'INVALID'}, "
+        f"reference={'VALID' if ref else 'INVALID'})\n"
+        f"schema={schema}\ninstance={instance}")
