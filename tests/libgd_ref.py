@@ -1,0 +1,77 @@
+"""ctypes bindings to the system libgd — reference PNG producer for tests.
+
+libgd writes PNGs through the real libpng, giving externally-produced
+fixtures across color types (truecolor 2, palette 3 at depths 1/2/4/8,
+RGBA 6), Adam7 interlacing, and libpng's own filter choices.  Gated on
+library presence like tests/libwebp_ref.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+
+import numpy as np
+
+try:
+    _name = ctypes.util.find_library("gd") or "libgd.so.3"
+    gd = ctypes.CDLL(_name)
+    gd.gdImageCreateTrueColor.restype = ctypes.c_void_p
+    gd.gdImageCreate.restype = ctypes.c_void_p
+    gd.gdImagePngPtr.restype = ctypes.c_void_p
+    gd.gdImageColorAllocate.restype = ctypes.c_int
+    HAVE_LIBGD = True
+except OSError:  # pragma: no cover
+    gd = None
+    HAVE_LIBGD = False
+
+
+def _png_bytes(imv) -> bytes:
+    sz = ctypes.c_int()
+    p = gd.gdImagePngPtr(imv, ctypes.byref(sz))
+    data = ctypes.string_at(p, sz.value)
+    gd.gdFree(ctypes.c_void_p(p))
+    return data
+
+
+def truecolor_png(arr: np.ndarray, alpha: np.ndarray | None = None,
+                  interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 (+ optional (h, w) gd 7-bit alpha) -> real PNG."""
+    h, w = arr.shape[:2]
+    imv = ctypes.c_void_p(gd.gdImageCreateTrueColor(w, h))
+    if alpha is not None:
+        gd.gdImageAlphaBlending(imv, 0)
+        gd.gdImageSaveAlpha(imv, 1)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in arr[y, x])
+            col = (r << 16) | (g << 8) | b
+            if alpha is not None:
+                col |= int(alpha[y, x]) << 24
+            gd.gdImageSetPixel(imv, x, y, col)
+    if interlace:
+        gd.gdImageInterlace(imv, 1)
+    data = _png_bytes(imv)
+    gd.gdImageDestroy(imv)
+    return data
+
+
+def palette_png(indices: np.ndarray, colors: np.ndarray,
+                interlace: bool = False) -> tuple[bytes, np.ndarray]:
+    """Index map + palette -> real palette PNG; returns (png, rgb)."""
+    h, w = indices.shape
+    imv = ctypes.c_void_p(gd.gdImageCreate(w, h))
+    idxs = [gd.gdImageColorAllocate(imv, int(r), int(g), int(b))
+            for r, g, b in colors]
+    for y in range(h):
+        for x in range(w):
+            gd.gdImageSetPixel(imv, x, y, idxs[indices[y, x]])
+    if interlace:
+        gd.gdImageInterlace(imv, 1)
+    data = _png_bytes(imv)
+    gd.gdImageDestroy(imv)
+    return data, colors[indices].astype(np.uint8)
+
+
+def gd_alpha_to_png(a: np.ndarray) -> np.ndarray:
+    """gd 7-bit alpha (0=opaque..127=transparent) -> PNG 8-bit alpha."""
+    return np.round((127 - a.astype(np.float64)) * 255 / 127).astype(np.uint8)
