@@ -62,6 +62,34 @@ def _bucket_sizes(exploded: DataFrame, bucket_cols: list[str]) -> DataFrame:
     return exploded.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("members"))
 
 
+def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str],
+                  payload_cols: list[str],
+                  max_bucket_size: int | None) -> DataFrame:
+    """In-bucket candidate pairs (a.id < b.id) via ONE exchange.
+
+    Shape: window-cap → groupBy(bucket) collect_list → double Generate
+    expansion.  Replaces the bucket self-join, which shuffled the bucket
+    keys twice AND evaluated the upstream plan (the Arrow signature
+    kernel) once per join side — PythonUDF subplans never canonicalize
+    equal, so Catalyst's ReuseExchange cannot deduplicate them.  The
+    window count and the aggregation share the same hash partitioning,
+    so Catalyst plans a single exchange; the pre-filter bounds every
+    collected array to ``max_bucket_size`` structs (the window streams
+    its count — no unbounded buffer even on a 10M-member boilerplate
+    bucket), and the Generates expand pairs inside whole-stage codegen.
+    Returns columns ``a``/``b`` as structs of (id, *payload_cols).
+    """
+    ex = _cap_buckets(exploded, bucket_cols, max_bucket_size)
+    item = F.struct(F.col("id"), *[F.col(c) for c in payload_cols])
+    grouped = (ex.groupBy(*bucket_cols)
+               .agg(F.collect_list(item).alias("xs"))
+               .where(F.size("xs") >= 2))
+    return (grouped
+            .select(F.explode("xs").alias("a"), "xs")
+            .select("a", F.explode("xs").alias("b"))
+            .where(F.col("a.id") < F.col("b.id")))
+
+
 # -- exact ---------------------------------------------------------------------
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -239,17 +267,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     signatures in the vectorized numpy kernel; ``'sql'`` keeps the
     pure-Catalyst expression (same recall math, ~200× slower per row).
     """
-    exploded = _cap_buckets(
+    pairs = _bucket_pairs(
         _minhash_exploded(df, id_col, text_col, num_hashes, bands, shingle_k,
                           engine),
-        ["band", "bucket"], max_bucket_size)
-    left = exploded.alias("l")
-    right = exploded.alias("r")
-    pairs = (left.join(right, ["band", "bucket"])
-             .where(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-             .distinct())
-    return pairs
+        ["band", "bucket"], [], max_bucket_size)
+    return (pairs.select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"))
+            .distinct())
 
 
 def minhash_oversized_buckets(df: DataFrame, id_col: str = "doc_id",
@@ -408,14 +432,13 @@ def simhash_candidates(df: DataFrame, id_col: str = "doc_id",
     self-join (see ``DEFAULT_MAX_BUCKET``); report with
     ``simhash_oversized_buckets``.
     """
-    ex = _cap_buckets(_simhash_exploded(_ensure_parallelism(df),
-                                        id_col, text_col, chunks),
-                      ["chunk", "val"], max_bucket_size)
-    l, r = ex.alias("l"), ex.alias("r")
-    pairs = (l.join(r, ["chunk", "val"])
-             .where(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     F.col("l.sim").alias("sim_a"), F.col("r.sim").alias("sim_b"))
+    raw = _bucket_pairs(_simhash_exploded(_ensure_parallelism(df),
+                                          id_col, text_col, chunks),
+                        ["chunk", "val"], ["sim"], max_bucket_size)
+    pairs = (raw.select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"),
+                        F.col("a.sim").alias("sim_a"),
+                        F.col("b.sim").alias("sim_b"))
              .distinct())
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming"))

@@ -185,15 +185,15 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
     if max_bucket_size == "default":
         max_bucket_size = DEFAULT_MAX_BUCKET
 
+    from .dedup import _bucket_pairs
+
     b = with_lsh_bucket(df, vec_col, n_planes, seed, dim) \
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket")
-    b = _cap_buckets(b, ["lsh_bucket"], max_bucket_size)
-    l, r = b.alias("l"), b.alias("r")
-    pairs = (l.join(r, "lsh_bucket")
-             .where(F.col("l.id") < F.col("r.id"))
-             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                     cosine(F.col("l.v").cast("array<double>"),
-                            F.col("r.v").cast("array<double>")).alias("score")))
+    raw = _bucket_pairs(b, ["lsh_bucket"], ["v"], max_bucket_size)
+    pairs = raw.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        cosine(F.col("a.v").cast("array<double>"),
+               F.col("b.v").cast("array<double>")).alias("score"))
     return pairs.where(F.col("score") >= threshold)
 
 
