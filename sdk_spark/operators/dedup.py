@@ -177,47 +177,93 @@ def minhash_signature_arrow(text_col: str, num_hashes: int = 64,
     hash works; candidate precision is restored by the exact-Jaccard
     rescore either way).
     """
-    from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql.functions import pandas_udf
+
+    sig_of = _make_doc_signature(num_hashes, shingle_k)
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        old = np.seterr(over="ignore")  # uint64 wraparound is the hash
+        out = [None if t is None else sig_of(t) for t in texts]
+        np.seterr(**old)
+        return pd.Series(out)
+
+    return _sig(F.col(text_col))
+
+
+_FNV_BASIS = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _make_doc_signature(num_hashes: int, shingle_k: int):
+    """Per-doc numpy minhash: text -> int64[num_hashes] (shared by the
+    signature and band-bucket kernels)."""
+    from numpy.lib.stride_tricks import sliding_window_view
 
     coeffs = _perm_coeffs(num_hashes)
     A = np.array([a for a, _ in coeffs], dtype=np.int64)
     B = np.array([b for _, b in coeffs], dtype=np.int64)
     P = _MINHASH_P
-    FNV_BASIS = np.uint64(1469598103934665603)
-    FNV_PRIME = np.uint64(1099511628211)
     # per-position multipliers R^(k-1-j) under uint64 wraparound
     old = np.seterr(over="ignore")
     RPOW = np.empty(shingle_k, dtype=np.uint64)
     RPOW[-1] = np.uint64(1)
     for j in range(shingle_k - 2, -1, -1):
-        RPOW[j] = RPOW[j + 1] * FNV_PRIME
+        RPOW[j] = RPOW[j + 1] * _FNV_PRIME
     np.seterr(**old)
 
+    def sig_of(text: str) -> np.ndarray:
+        cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        if len(cp) >= shingle_k:
+            win = sliding_window_view(cp, shingle_k).astype(np.uint64)
+            h = (win * RPOW).sum(axis=1, dtype=np.uint64) + _FNV_BASIS
+        else:  # short doc: one shingle = the whole text (SQL parity)
+            pad = np.zeros(shingle_k, dtype=np.uint64)
+            pad[:len(cp)] = cp
+            h = (pad * RPOW).sum(dtype=np.uint64) + _FNV_BASIS
+            h = h.reshape(1)
+        hm = (h % np.uint64(P)).astype(np.int64)
+        vals = (hm[:, None] * A[None, :] + B[None, :]) % P
+        return vals.min(axis=0)
+
+    return sig_of
+
+
+def minhash_band_buckets_arrow(text_col: str, num_hashes: int, bands: int,
+                               shingle_k: int = 5) -> Column:
+    """Arrow kernel emitting the banded bucket hashes directly:
+    ``int64[bands]`` where position = band index.
+
+    Folding the banding into the kernel removes the per-row interpreted
+    ``transform``/``slice``/``xxhash64`` expression tree of
+    ``minhash_bands`` (measured ~70 us/row at 16 bands — 2.5x the cost
+    of the signature itself).  The bucket is an FNV fold of the band's
+    signature values; any deterministic hash of the band tuple gives
+    the same Broder collision guarantees.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = num_hashes // bands
+    sig_of = _make_doc_signature(num_hashes, shingle_k)
+
     @pandas_udf("array<long>")
-    def _sig(texts: pd.Series) -> pd.Series:
-        old = np.seterr(over="ignore")  # uint64 wraparound is the hash
+    def _bb(texts: pd.Series) -> pd.Series:
+        old = np.seterr(over="ignore")
         out = []
         for text in texts:
             if text is None:
                 out.append(None)
                 continue
-            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-            if len(cp) >= shingle_k:
-                win = sliding_window_view(cp, shingle_k).astype(np.uint64)
-                h = (win * RPOW).sum(axis=1, dtype=np.uint64) + FNV_BASIS
-            else:  # short doc: one shingle = the whole text (SQL parity)
-                pad = np.zeros(shingle_k, dtype=np.uint64)
-                pad[:len(cp)] = cp
-                h = (pad * RPOW).sum(dtype=np.uint64) + FNV_BASIS
-                h = h.reshape(1)
-            hm = (h % np.uint64(P)).astype(np.int64)
-            vals = (hm[:, None] * A[None, :] + B[None, :]) % P
-            out.append(vals.min(axis=0))
+            v = sig_of(text).astype(np.uint64).reshape(bands,
+                                                       rows_per_band)
+            acc = np.full(bands, _FNV_BASIS, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = (acc ^ v[:, j]) * _FNV_PRIME
+            out.append(acc.view(np.int64))
         np.seterr(**old)
         return pd.Series(out)
 
-    return _sig(F.col(text_col))
+    return _bb(F.col(text_col))
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -243,11 +289,16 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
 def _minhash_exploded(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int, bands: int, shingle_k: int,
                       engine: str = "arrow") -> DataFrame:
+    if engine == "arrow":
+        bk = df.select(
+            F.col(id_col).alias("id"),
+            minhash_band_buckets_arrow(text_col, num_hashes, bands,
+                                       shingle_k).alias("bk"))
+        return bk.select("id", F.posexplode("bk").alias("band", "bucket"))
     rows_per_band = num_hashes // bands
-    sig_fn = minhash_signature_arrow if engine == "arrow" else minhash_signature
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_bands(sig_fn(text_col, num_hashes, shingle_k),
+        minhash_bands(minhash_signature(text_col, num_hashes, shingle_k),
                       bands, rows_per_band).alias("bnds"))
     return sig.select("id", F.explode("bnds").alias("b")) \
               .select("id", F.col("b.band").alias("band"),
