@@ -8,13 +8,15 @@ VP8L (lossless):
 * **encoder**: literal-only ARGB coding (no transforms, no color cache, no
   LZ77 backreferences) — flat 8-bit codes for G/R/B channels, single-symbol
   simple codes for constant channels. Always valid VP8L; ~3 bytes/pixel.
-* **decoder**: full simple + normal prefix-code reading (code-length codes,
-  repeats 16/17/18, max_symbol cap) and literal pixels; transforms, color
-  cache and LZ77 backreferences raise ``NotImplementedError`` with the
-  feature name (subset decoder — the planted corpus never emits them).
+* **decoder**: the FULL bitstream lives in ``vp8l.py`` (all four
+  transforms, color cache, LZ77 with the 2D distance map, meta prefix
+  codes) — this module's simple-subset reader remains only as the
+  encoder's round-trip twin; ``decode_webp`` routes VP8L payloads to the
+  full decoder.
 
-Remaining honest gaps, raised by feature name: VP8L transforms/cache/LZ77
-on the lossless side, and ALPH/ANIM chunks in extended containers.
+ALPH alpha planes decode for real (raw + lossless compression, all four
+prediction filters).  Remaining honest gap, raised by feature name:
+ANIM/ANMF (animated WebP) chunks.
 """
 
 from __future__ import annotations

@@ -5,12 +5,14 @@ Decode / feature-extraction runs as Arrow-batched ``mapInPandas`` kernels —
 the engine's designated slow path (BASELINE.json input_hint: vectorized
 pandas UDFs, never per-row Python at the API layer).
 
-PNG and baseline JPEG decode are REAL (pure-Python codecs,
-``sdk_spark.functions.png`` / ``sdk_spark.functions.jpeg`` — JPEG is the
-lossy case the PSNR≥40dB invariant exists for); the WEBP decoder is a STUB
-behind ``NotImplementedError`` because no webp codec is present in this
-environment — the Spark-side plumbing (schema, batching, partitioning) is
-identical for all formats.
+All three planted formats decode for REAL with pure-Python codecs: PNG
+(full filter/interlace/bit-depth support, ``functions.png``), JPEG
+(baseline + progressive + restart intervals, ``functions.jpeg`` — the
+lossy case the PSNR≥40dB invariant exists for), and WebP (full VP8L
+lossless bitstream in ``functions.vp8l``, full VP8 key-frame decode in
+``functions.vp8`` bit-exact vs libwebp, ALPH alpha planes).  Unsupported
+features raise ``NotImplementedError``/``ValueError`` by name and surface
+as decode-failed violation rows — never a silent pass.
 """
 
 from __future__ import annotations
