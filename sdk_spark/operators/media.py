@@ -156,19 +156,30 @@ def sample_frames(df: DataFrame, every_n: int = 2,
                   id_col: str = "media_id",
                   bytes_col: str = "bytes") -> DataFrame:
     """Frame sampling: one output row per kept frame (index % every_n == 0),
-    decoded for real (PNG frames in the stand-in container)."""
+    decoded for real — PNG frames in the RAWV stand-in container, or
+    composited frames of an animated GIF (disposal methods applied by
+    ``functions.gif.decode_gif_frames``; kept frames re-encode as PNG so
+    the output ``bytes`` column is format-homogeneous)."""
     cols = df.select(F.col(id_col).alias("media_id"), F.col(bytes_col))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.png import decode_png
+        from ..functions.gif import decode_gif_frames
+        from ..functions.png import decode_png, encode_png
 
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[bytes_col]):
                 if payload is None:
                     continue
+                payload = bytes(payload)
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    gframes, _, _ = decode_gif_frames(payload)
+                    for idx in range(0, len(gframes), every_n):
+                        rows.append((mid, idx, encode_png(gframes[idx]),
+                                     float(gframes[idx].mean())))
+                    continue
                 try:
-                    frames = _demux_rawv(bytes(payload))
+                    frames = _demux_rawv(payload)
                 except NotImplementedError:
                     continue  # non-RAWV containers skipped (documented)
                 for idx in range(0, len(frames), every_n):

@@ -64,6 +64,10 @@ def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
         from ..functions.webp import decode_webp
 
         return decode_webp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from ..functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError("unrecognized image payload")
 
 

@@ -75,3 +75,56 @@ def palette_png(indices: np.ndarray, colors: np.ndarray,
 def gd_alpha_to_png(a: np.ndarray) -> np.ndarray:
     """gd 7-bit alpha (0=opaque..127=transparent) -> PNG 8-bit alpha."""
     return np.round((127 - a.astype(np.float64)) * 255 / 127).astype(np.uint8)
+
+
+# -- GIF helpers (reference producer/consumer for tests/test_gif.py) --------
+
+if HAVE_LIBGD:
+    gd.gdImageGifPtr.restype = ctypes.c_void_p
+    gd.gdImageCreateFromGifPtr.restype = ctypes.c_void_p
+    gd.gdImageGetTrueColorPixel.restype = ctypes.c_int
+    HAVE_GD_GIF = (hasattr(gd, "gdImageGifPtr")
+                   and hasattr(gd, "gdImageCreateFromGifPtr"))
+else:  # pragma: no cover
+    HAVE_GD_GIF = False
+
+
+def palette_gif(indices: np.ndarray, colors: np.ndarray,
+                interlace: bool = False) -> tuple[bytes, np.ndarray]:
+    """Index map + palette -> real (libgd-encoded) GIF; returns (gif, rgb)."""
+    h, w = indices.shape
+    imv = ctypes.c_void_p(gd.gdImageCreate(w, h))
+    idxs = [gd.gdImageColorAllocate(imv, int(r), int(g), int(b))
+            for r, g, b in colors]
+    for y in range(h):
+        for x in range(w):
+            gd.gdImageSetPixel(imv, x, y, idxs[indices[y, x]])
+    if interlace:
+        gd.gdImageInterlace(imv, 1)
+    sz = ctypes.c_int()
+    p = gd.gdImageGifPtr(imv, ctypes.byref(sz))
+    data = ctypes.string_at(p, sz.value)
+    gd.gdFree(ctypes.c_void_p(p))
+    gd.gdImageDestroy(imv)
+    return data, colors[indices].astype(np.uint8)
+
+
+def gd_decode_gif(payload: bytes) -> np.ndarray:
+    """libgd-decoded first frame as (h, w, 3) uint8 RGB."""
+    imv = ctypes.c_void_p(
+        gd.gdImageCreateFromGifPtr(len(payload), payload))
+    if not imv:
+        raise ValueError("libgd failed to decode GIF")
+    if hasattr(gd, "gdImagePaletteToTrueColor"):
+        gd.gdImagePaletteToTrueColor(imv)
+    # gdImageSX/SY are macros; the logical-screen dims from the GIF header
+    # equal gd's canvas for single-frame images
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            c = gd.gdImageGetTrueColorPixel(imv, x, y)
+            out[y, x] = ((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF)
+    gd.gdImageDestroy(imv)
+    return out
