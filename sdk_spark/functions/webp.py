@@ -121,16 +121,18 @@ def _write_flat256_code(bw: _LsbBitWriter, alphabet: int) -> None:
 
 
 def encode_webp(arr: np.ndarray) -> bytes:
-    """Encode (h, w, 3) uint8 RGB (or (h, w) gray) as lossless VP8L."""
+    """Encode (h, w, 3) RGB / (h, w, 4) RGBA uint8 (or (h, w) gray) as
+    lossless VP8L."""
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
+    has_alpha = arr.shape[2] == 4
     h, w = arr.shape[:2]
     if w > 16384 or h > 16384:
         raise ValueError("VP8L dimensions cap at 16384")
     bw = _LsbBitWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)   # no alpha
+    bw.write(1 if has_alpha else 0, 1)   # alpha hint
     bw.write(0, 3)   # version
     bw.write(0, 1)   # no transforms
     bw.write(0, 1)   # no color cache
@@ -139,20 +141,147 @@ def encode_webp(arr: np.ndarray) -> bytes:
     _write_flat256_code(bw, GREEN_ALPHABET)
     _write_flat256_code(bw, 256)    # red
     _write_flat256_code(bw, 256)    # blue
-    _write_simple_code(bw, 255)     # alpha: constant opaque
+    if has_alpha:
+        _write_flat256_code(bw, 256)
+    else:
+        _write_simple_code(bw, 255)  # alpha: constant opaque
     _write_simple_code(bw, 0)       # distance: unused
-    flat = arr.reshape(-1, 3)
+    flat = arr.reshape(-1, arr.shape[2])
     # flat 8-bit canonical code over 0..255 assigns symbol i the code i
-    for r, g, b in flat:
-        bw.write_code(int(g), 8)
-        bw.write_code(int(r), 8)
-        bw.write_code(int(b), 8)
+    for px in flat:
+        bw.write_code(int(px[1]), 8)
+        bw.write_code(int(px[0]), 8)
+        bw.write_code(int(px[2]), 8)
+        if has_alpha:
+            bw.write_code(int(px[3]), 8)
     payload = b"\x2f" + bw.finish()
     chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
     if len(payload) % 2:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _decode_still(tag: bytes, body: bytes, alpha_body: bytes | None,
+                  return_alpha: bool) -> np.ndarray:
+    """One VP8/VP8L payload (+ optional ALPH plane) -> RGB or RGBA."""
+    if tag == b"VP8L":
+        from .vp8l import decode_vp8l
+
+        # VP8L carries its own alpha channel
+        return decode_vp8l(body, return_alpha=return_alpha)
+    from .vp8 import decode_vp8_rgb
+
+    rgb = decode_vp8_rgb(body)
+    if not return_alpha:
+        return rgb
+    h, w = rgb.shape[:2]
+    if alpha_body is not None:
+        from .vp8l import decode_alpha
+
+        a = decode_alpha(alpha_body, w, h)
+    else:
+        a = np.full((h, w), 255, dtype=np.uint8)
+    return np.dstack([rgb, a])
+
+
+def _walk_chunks(payload: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        tag = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if pos + 8 + size > end:
+            raise ValueError("truncated WebP chunk")
+        yield tag, payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+
+
+def _blend_rgba(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Straight-alpha 'over' compositing (WebP ANMF blending method 0)."""
+    sa = src[..., 3:4].astype(np.float64) / 255.0
+    da = dst[..., 3:4].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    rgb = np.where(oa > 0,
+                   (src[..., :3] * sa + dst[..., :3] * da * (1.0 - sa)) /
+                   np.maximum(oa, 1e-12), 0)
+    out = np.concatenate([rgb, oa * 255.0], axis=2)
+    return np.round(out).clip(0, 255).astype(np.uint8)
+
+
+def decode_webp_frames(payload: bytes):
+    """Decode ALL frames of a (possibly animated) WebP, fully composited.
+
+    Returns ``(frames, durations_ms, loop_count)``; frames are canvas-sized
+    (h, w, 4) uint8 RGBA with ANMF blending (methods 0/1) and disposal
+    (none / to-background) applied.  Still images yield one frame.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP (missing RIFF/WEBP)")
+    canvas = None
+    bg = np.zeros(4, dtype=np.uint8)
+    loop_count = 1
+    frames: list[np.ndarray] = []
+    durations: list[int] = []
+    alpha_body = None
+    for tag, body in _walk_chunks(payload, 12, len(payload)):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X chunk")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("truncated ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)
+            loop_count = int.from_bytes(body[4:6], "little")
+            if canvas is None:
+                raise ValueError("ANIM chunk before VP8X")
+            canvas[:] = bg
+        elif tag == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated ANMF chunk")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            sub_alpha = None
+            frame_rgba = None
+            for stag, sbody in _walk_chunks(body, 16, len(body)):
+                if stag == b"ALPH":
+                    sub_alpha = sbody
+                elif stag in (b"VP8 ", b"VP8L"):
+                    frame_rgba = _decode_still(stag, sbody, sub_alpha, True)
+                    break
+            if frame_rgba is None:
+                raise ValueError("ANMF frame missing VP8/VP8L payload")
+            if frame_rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF declared frame size mismatch")
+            if canvas is None:
+                raise ValueError("ANMF chunk before VP8X")
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                raise ValueError("ANMF frame rectangle outside canvas")
+            region = canvas[fy:fy + fh, fx:fx + fw]
+            canvas[fy:fy + fh, fx:fx + fw] = (
+                frame_rgba if no_blend else _blend_rgba(region, frame_rgba))
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if dispose_bg:
+                canvas[fy:fy + fh, fx:fx + fw] = bg
+        elif tag == b"ALPH":
+            alpha_body = body
+        elif tag in (b"VP8 ", b"VP8L"):
+            frames.append(_decode_still(tag, body, alpha_body, True))
+            durations.append(0)
+            break
+        # ICCP/EXIF/XMP metadata chunks: skip
+    if not frames:
+        raise ValueError("missing VP8L/VP8 image chunk")
+    return frames, durations, loop_count
 
 
 def decode_webp(payload: bytes, return_alpha: bool = False) -> np.ndarray:
@@ -164,44 +293,73 @@ def decode_webp(payload: bytes, return_alpha: bool = False) -> np.ndarray:
     lossy VP8 key frames (``vp8.py``), each proven bit-exact against
     libwebp in tests.  Extended (VP8X) containers are walked to their
     chunks; ALPH alpha planes decode for real (raw + lossless, all four
-    prediction filters).  Animation chunks raise by feature name.
+    prediction filters).  Animated (ANIM/ANMF) containers return the
+    first composited frame — ``decode_webp_frames`` yields them all.
     """
     if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP (missing RIFF/WEBP)")
-    pos = 12
     alpha_body = None
-    while pos + 8 <= len(payload):
-        tag = payload[pos:pos + 4]
-        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
-        body = payload[pos + 8:pos + 8 + size]
-        if tag == b"VP8L":
-            from .vp8l import decode_vp8l
-
-            # VP8L carries its own alpha channel
-            out = decode_vp8l(body, return_alpha=return_alpha)
-            return out
-        if tag == b"VP8 ":
-            from .vp8 import decode_vp8_rgb
-
-            rgb = decode_vp8_rgb(body)
-            if not return_alpha:
-                return rgb
-            import numpy as _np
-
-            h, w = rgb.shape[:2]
-            if alpha_body is not None:
-                from .vp8l import decode_alpha
-
-                a = decode_alpha(alpha_body, w, h)
-            else:
-                a = _np.full((h, w), 255, dtype=_np.uint8)
-            return _np.dstack([rgb, a])
+    for tag, body in _walk_chunks(payload, 12, len(payload)):
+        if tag in (b"VP8L", b"VP8 "):
+            return _decode_still(tag, body, alpha_body, return_alpha)
         if tag == b"ALPH":
             alpha_body = body
-        elif tag in (b"ANIM", b"ANMF"):
-            raise NotImplementedError(
-                f"webp feature not supported by the subset decoder: "
-                f"{tag.decode().strip()}")
-        # VP8X and metadata chunks (ICCP/EXIF/XMP): skip
-        pos += 8 + size + (size & 1)
+        elif tag == b"ANMF":
+            frames, _, _ = decode_webp_frames(payload)
+            first = frames[0]
+            return first if return_alpha else first[..., :3]
+        # VP8X/ANIM and metadata chunks (ICCP/EXIF/XMP): skip
     raise ValueError("missing VP8L/VP8 image chunk")
+
+
+def _anim_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + len(body).to_bytes(4, "little") + body + \
+        (b"\x00" if len(body) & 1 else b"")
+
+
+def encode_webp_animation(frames: list[np.ndarray],
+                          durations_ms: list[int],
+                          loop_count: int = 0,
+                          offsets: list[tuple[int, int]] | None = None,
+                          no_blend: bool = True,
+                          dispose_bg: bool = False,
+                          canvas_wh: tuple[int, int] | None = None,
+                          background=(255, 255, 255, 255)) -> bytes:
+    """Animated WebP from RGB(A) frames (VP8L-coded, lossless).
+
+    Defaults to full-canvas no-blend frames (exact round trip through
+    ``decode_webp_frames``); ``offsets`` places sub-rect frames (must be
+    even per the ANMF x/2,y/2 encoding).
+    """
+    if not frames:
+        raise ValueError("no frames")
+    if canvas_wh is None:
+        canvas_wh = (frames[0].shape[1], frames[0].shape[0])
+    cw, ch = canvas_wh
+    offsets = offsets or [(0, 0)] * len(frames)
+    flags = 0x02 | (0x10 if any(f.ndim == 3 and f.shape[2] == 4
+                                for f in frames) else 0)
+    vp8x = bytes([flags, 0, 0, 0]) + \
+        (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    r, g, b, a = background
+    anim = bytes([b, g, r, a]) + int(loop_count).to_bytes(2, "little")
+    out = bytearray(_anim_chunk(b"VP8X", vp8x) + _anim_chunk(b"ANIM", anim))
+    for arr, dur, (fx, fy) in zip(frames, durations_ms, offsets):
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF offsets must be even")
+        fh, fw = arr.shape[:2]
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("frame rectangle outside canvas")
+        sub = encode_webp(arr)
+        vp8l_body = next(body for tag, body in
+                         _walk_chunks(sub, 12, len(sub)) if tag == b"VP8L")
+        head = ((fx // 2).to_bytes(3, "little")
+                + (fy // 2).to_bytes(3, "little")
+                + (fw - 1).to_bytes(3, "little")
+                + (fh - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little")
+                + bytes([(0x02 if no_blend else 0)
+                         | (0x01 if dispose_bg else 0)]))
+        out += _anim_chunk(b"ANMF", head + _anim_chunk(b"VP8L", vp8l_body))
+    riff = b"WEBP" + bytes(out)
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

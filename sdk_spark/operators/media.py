@@ -178,6 +178,17 @@ def sample_frames(df: DataFrame, every_n: int = 2,
                         rows.append((mid, idx, encode_png(gframes[idx]),
                                      float(gframes[idx].mean())))
                     continue
+                if (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+                        and payload[12:16] == b"VP8X" and len(payload) > 20
+                        and payload[20] & 0x02):   # VP8X animation flag
+                    from ..functions.webp import decode_webp_frames
+
+                    wframes, _, _ = decode_webp_frames(payload)
+                    for idx in range(0, len(wframes), every_n):
+                        rgb = wframes[idx][..., :3]
+                        rows.append((mid, idx, encode_png(rgb),
+                                     float(rgb.mean())))
+                    continue
                 try:
                     frames = _demux_rawv(payload)
                 except NotImplementedError:

@@ -186,3 +186,16 @@ def vp8_chunk(webp_bytes: bytes) -> bytes:
             return webp_bytes[pos + 8:pos + 8 + ln]
         pos += 8 + ln + (ln & 1)
     raise ValueError("no VP8 chunk")
+
+
+def decode_rgba(data: bytes) -> np.ndarray:
+    """Reference decode to (h, w, 4) RGBA via WebPDecodeRGBA."""
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, ctypes.c_size_t(len(data)),
+                           ctypes.byref(w), ctypes.byref(h))
+    assert p, "libwebp RGBA decode failed"
+    out = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    lib.WebPFree(p)
+    return out
