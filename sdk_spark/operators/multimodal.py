@@ -44,31 +44,45 @@ DECODE_META_SCHEMA = T.StructType([
 ])
 
 
-def decode_image(payload: bytes, fmt: str | None = None) -> np.ndarray:
+def decode_image(payload: bytes, fmt: str | None = None,
+                 auto_orient: bool = False) -> np.ndarray:
     """Decode one image payload by magic bytes.
 
-    PNG, JPEG (baseline + progressive), lossless WebP (VP8L) and lossy
-    WebP (full VP8 key-frame decode, bit-exact vs libwebp) decode for
-    real (pure-Python codecs, ``sdk_spark.functions.png`` / ``.jpeg`` /
-    ``.webp`` / ``.vp8``); WebP alpha/animation chunks raise
-    NotImplementedError by feature name (documented subset)."""
+    PNG (full filter/interlace/depth), JPEG (baseline + progressive +
+    restart intervals), WebP (full VP8L lossless, full VP8 key-frame,
+    ALPH alpha, first frame of ANIM) and GIF (full LZW/interlace/
+    transparency, first composited frame) all decode for real with
+    pure-Python codecs.  ``auto_orient`` applies the EXIF orientation
+    (JPEG APP1 / WebP EXIF chunk) so pixels come out display-upright."""
     from ..functions.png import decode_png
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    arr = None
     if payload[:2] == b"\xFF\xD8":
         from ..functions.jpeg import decode_jpeg
 
-        return decode_jpeg(payload)
-    if payload[:4] == b"RIFF":
+        arr = decode_jpeg(payload)
+    elif payload[:4] == b"RIFF":
         from ..functions.webp import decode_webp
 
-        return decode_webp(payload)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        arr = decode_webp(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
         from ..functions.gif import decode_gif
 
-        return decode_gif(payload)
-    raise ValueError("unrecognized image payload")
+        return decode_gif(payload)         # GIF carries no EXIF
+    if arr is None:
+        raise ValueError("unrecognized image payload")
+    if auto_orient:
+        from ..functions.exif import apply_orientation, extract_exif
+
+        try:
+            meta = extract_exif(payload)
+        except ValueError:
+            meta = None                    # corrupt EXIF: leave as stored
+        if meta is not None:
+            arr = apply_orientation(arr, meta["orientation"])
+    return arr
 
 
 def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
@@ -137,6 +151,68 @@ def decode_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_META_SCHEMA.fields])
 
     return cols.mapInPandas(extract, DECODE_META_SCHEMA)
+
+
+EXIF_META_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), True),
+    T.StructField("orientation", T.IntegerType(), True),
+    T.StructField("exif_w", T.IntegerType(), True),
+    T.StructField("exif_h", T.IntegerType(), True),
+    T.StructField("has_exif", T.BooleanType(), True),
+])
+
+
+def exif_metadata(df: DataFrame) -> DataFrame:
+    """Per-image EXIF fields (orientation, declared pixel dims) from JPEG
+    APP1 / WebP EXIF chunks — Arrow-batched, payload-header-only (no full
+    pixel decode, so it scans at IO speed even on 10^12 rows)."""
+    cols = df.select("image_id", "bytes")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.exif import extract_exif
+
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                if payload is None:
+                    rows.append((image_id, None, None, None, False))
+                    continue
+                try:
+                    meta = extract_exif(bytes(payload))
+                except ValueError:
+                    meta = None            # corrupt EXIF == no EXIF
+                if meta is None:
+                    rows.append((image_id, None, None, None, False))
+                else:
+                    rows.append((image_id, meta["orientation"],
+                                 meta["exif_w"], meta["exif_h"], True))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              EXIF_META_SCHEMA.fields])
+
+    return cols.mapInPandas(kernel, EXIF_META_SCHEMA)
+
+
+def exif_consistency_violations(df: DataFrame) -> DataFrame:
+    """EXIF-vs-metadata check: EXIF pixel dims must match the declared
+    (w, h) columns — after the orientation swap for orientations 5-8,
+    where EXIF dims describe storage order but (w, h) describe display
+    order.  Missing EXIF is not a violation (most crawl data has none)."""
+    meta = exif_metadata(df).withColumnRenamed("image_id", "eid")
+    joined = df.select("image_id", "w", "h").join(
+        meta, df["image_id"] == meta["eid"], "inner")
+    disp_w = F.when(F.col("orientation") >= 5,
+                    F.col("exif_h")).otherwise(F.col("exif_w"))
+    disp_h = F.when(F.col("orientation") >= 5,
+                    F.col("exif_w")).otherwise(F.col("exif_h"))
+    bad = joined.where(
+        F.col("has_exif") & F.col("exif_w").isNotNull()
+        & F.col("exif_h").isNotNull()
+        & ((F.col("w") != disp_w) | (F.col("h") != disp_h)))
+    return bad.select(
+        "image_id",
+        F.lit(E.ENGINE_EXIF_DIMS_MISMATCH).alias("constraint_id"),
+        F.lit("#/w,h").alias("path"),
+        F.concat_ws("x", disp_w, disp_h).alias("value"))
 
 
 def dims_consistency_violations(df: DataFrame) -> DataFrame:
