@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 ORIENTATION = 0x0112
 IMAGE_WIDTH = 0x0100
 IMAGE_LENGTH = 0x0101
@@ -52,6 +54,7 @@ def _read_ifd(data: bytes, pos: int, bo: str, out: dict) -> None:
             out[tag] = int.from_bytes(data[off:off + width], bo)
 
 
+@malformed_input_guard('exif')
 def parse_tiff_exif(data: bytes) -> dict:
     """TIFF-structured EXIF block -> {orientation, exif_w, exif_h, ...}."""
     if data[:2] == b"II":
@@ -77,6 +80,7 @@ def parse_tiff_exif(data: bytes) -> dict:
     }
 
 
+@malformed_input_guard('exif')
 def extract_exif(payload: bytes) -> dict | None:
     """EXIF dict from a JPEG (APP1) or WebP (EXIF chunk) payload, or None."""
     if payload[:2] == b"\xFF\xD8":         # JPEG: scan APP1 segments

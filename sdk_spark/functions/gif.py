@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -224,6 +226,7 @@ def _deinterlace(idx: np.ndarray, h: int) -> np.ndarray:
     return out
 
 
+@malformed_input_guard('gif')
 def decode_gif_frames(payload: bytes):
     """Decode ALL frames of a GIF, fully composited.
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 # -- constants (ITU-T T.81 Annex K) -------------------------------------------
 
 ZIGZAG = np.array([
@@ -665,6 +667,7 @@ def _decode_block(br, coef, st, ci, scan, dc_tab, ac_tab, progressive):
         st.eobrun -= 1
 
 
+@malformed_input_guard('jpeg')
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
     (h, w, 3) uint8 RGB (grayscale is broadcast to 3 channels for a uniform

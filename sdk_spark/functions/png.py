@@ -16,6 +16,8 @@ import zlib
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 _MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # channels per color type
@@ -112,6 +114,7 @@ def _scale_depth(samples: np.ndarray, depth: int) -> np.ndarray:
     return samples
 
 
+@malformed_input_guard('png')
 def decode_png(data: bytes, return_alpha: bool = False) -> np.ndarray:
     """Decode a PNG into (H, W, 3) uint8 RGB (or RGBA with
     ``return_alpha``)."""

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 from .vp8_tables import (AC_QLOOKUP, COEFF_BANDS, COEFF_PROBS,
                          COEFF_UPDATE_PROBS, DC_QLOOKUP, KF_BMODE_PROBS,
                          ZIGZAG)
@@ -936,6 +938,7 @@ def _upsample2(p: np.ndarray, h: int, w: int) -> np.ndarray:
     return big[:h, :w]
 
 
+@malformed_input_guard('vp8')
 def decode_vp8_rgb(payload: bytes) -> np.ndarray:
     """Decode a raw VP8 key-frame payload to (h, w, 3) uint8 RGB."""
     return yuv420_to_rgb(*decode_vp8_yuv(payload))

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 # spec distance map: code -> (xoffset = 8 - (v & 0xF), yoffset = v >> 4)
 _CODE_TO_PLANE = bytes([
     24, 7, 23, 25, 40, 6, 39, 41, 22, 26, 38, 42, 56, 5, 55, 57, 21, 27,
@@ -391,6 +393,7 @@ def _inv_palette(px: np.ndarray, w: int, h: int, packed_w: int,
 # top level
 # ---------------------------------------------------------------------------
 
+@malformed_input_guard('vp8l')
 def decode_vp8l(payload: bytes, return_alpha: bool = False) -> np.ndarray:
     """Decode a VP8L chunk body (starting with the 0x2f signature) to
     (h, w, 3) uint8 RGB — or (h, w, 4) RGBA with ``return_alpha``."""
@@ -519,6 +522,7 @@ def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
     return a
 
 
+@malformed_input_guard('vp8l')
 def decode_alpha(alph_body: bytes, w: int, h: int) -> np.ndarray:
     """Decode an ALPH chunk body to an (h, w) uint8 alpha plane."""
     if not alph_body:

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_util import malformed_input_guard
+
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """samples: float in [-1, 1] or int16; shape (n,) or (n, channels)."""
@@ -34,6 +36,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+@malformed_input_guard('wav')
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """Returns (samples float64 in [-1,1], shape (n, channels)), rate."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":

@@ -15,13 +15,15 @@ VP8L (lossless):
   full decoder.
 
 ALPH alpha planes decode for real (raw + lossless compression, all four
-prediction filters).  Remaining honest gap, raised by feature name:
-ANIM/ANMF (animated WebP) chunks.
+prediction filters), and animated containers (VP8X/ANIM/ANMF) decode
+fully composited via ``decode_webp_frames`` (blending + disposal).
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+from .codec_util import malformed_input_guard
 
 # code-length-code symbol order (VP8L spec §6.2.2; same role as DEFLATE's)
 K_CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
@@ -207,6 +209,7 @@ def _blend_rgba(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
     return np.round(out).clip(0, 255).astype(np.uint8)
 
 
+@malformed_input_guard('webp')
 def decode_webp_frames(payload: bytes):
     """Decode ALL frames of a (possibly animated) WebP, fully composited.
 
@@ -284,6 +287,7 @@ def decode_webp_frames(payload: bytes):
     return frames, durations, loop_count
 
 
+@malformed_input_guard('webp')
 def decode_webp(payload: bytes, return_alpha: bool = False) -> np.ndarray:
     """Decode a WebP container to (h, w, 3) uint8 RGB (or RGBA with
     ``return_alpha``).

@@ -216,13 +216,15 @@ def test_lossy_alpha_decodes_exactly():
     assert (mine[..., :3] == decode_webp(data)).all()   # rgb consistent
 
 
-def test_animation_raises_by_name():
+def test_frameless_animation_rejected():
+    # animated WebP now decodes (tests/test_webp_anim.py); a container
+    # with an ANIM chunk but no image frames must still fail closed
     from sdk_spark.functions.webp import decode_webp
 
     anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
     body = b"WEBP" + anim
     wrapped = b"RIFF" + len(body).to_bytes(4, "little") + body
-    with pytest.raises(NotImplementedError, match="ANIM"):
+    with pytest.raises(ValueError, match="missing VP8L/VP8"):
         decode_webp(wrapped)
 
 
