@@ -71,6 +71,14 @@ def decode_image(payload: bytes, fmt: str | None = None,
         from ..functions.gif import decode_gif
 
         return decode_gif(payload)         # GIF carries no EXIF
+    elif payload[:2] == b"BM":
+        from ..functions.bmp import decode_bmp
+
+        return decode_bmp(payload)         # BMP carries no EXIF
+    elif payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        from ..functions.tiff import decode_tiff
+
+        return decode_tiff(payload)        # EXIF-in-TIFF: dims are exact
     if arr is None:
         raise ValueError("unrecognized image payload")
     if auto_orient:

@@ -128,3 +128,50 @@ def gd_decode_gif(payload: bytes) -> np.ndarray:
             out[y, x] = ((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF)
     gd.gdImageDestroy(imv)
     return out
+
+
+# -- BMP helpers (reference producer/consumer for tests/test_bmp_tiff.py) ---
+
+if HAVE_LIBGD:
+    HAVE_GD_BMP = hasattr(gd, "gdImageBmpPtr") \
+        and hasattr(gd, "gdImageCreateFromBmpPtr")
+    if HAVE_GD_BMP:
+        gd.gdImageBmpPtr.restype = ctypes.c_void_p
+        gd.gdImageCreateFromBmpPtr.restype = ctypes.c_void_p
+else:  # pragma: no cover
+    HAVE_GD_BMP = False
+
+
+def truecolor_bmp(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> real (libgd-encoded) 24-bit BMP."""
+    h, w = arr.shape[:2]
+    imv = ctypes.c_void_p(gd.gdImageCreateTrueColor(w, h))
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(v) for v in arr[y, x])
+            gd.gdImageSetPixel(imv, x, y, (r << 16) | (g << 8) | b)
+    sz = ctypes.c_int()
+    p = gd.gdImageBmpPtr(imv, ctypes.byref(sz), 0)
+    data = ctypes.string_at(p, sz.value)
+    gd.gdFree(ctypes.c_void_p(p))
+    gd.gdImageDestroy(imv)
+    return data
+
+
+def gd_decode_bmp(payload: bytes) -> np.ndarray:
+    """libgd-decoded BMP as (h, w, 3) uint8 RGB (dims from the header)."""
+    imv = ctypes.c_void_p(gd.gdImageCreateFromBmpPtr(len(payload), payload))
+    if not imv:
+        raise ValueError("libgd failed to decode BMP")
+    if hasattr(gd, "gdImagePaletteToTrueColor"):
+        gd.gdImagePaletteToTrueColor(imv)
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    gd.gdImageGetTrueColorPixel.restype = ctypes.c_int
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            c = gd.gdImageGetTrueColorPixel(imv, x, y)
+            out[y, x] = ((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF)
+    gd.gdImageDestroy(imv)
+    return out

@@ -15,7 +15,9 @@ import signal
 import numpy as np
 import pytest
 
+from sdk_spark.functions.bmp import encode_bmp
 from sdk_spark.functions.gif import encode_gif, encode_gif_animation
+from sdk_spark.functions.tiff import encode_tiff
 from sdk_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
 from sdk_spark.functions.wav import decode_wav, encode_wav
 from sdk_spark.functions.webp import encode_webp, encode_webp_animation
@@ -39,6 +41,10 @@ PAYLOADS = {
     "vp8l": encode_webp(_IMG),
     "vp8l_rgba": encode_webp(np.dstack([_IMG, _GIMG[..., 0]])),
     "webp_anim": encode_webp_animation([_IMG, _IMG], [5, 5]),
+    "bmp": encode_bmp(_IMG),
+    "tiff_lzw": encode_tiff(_IMG, compression=5, predictor=2,
+                            rows_per_strip=8),
+    "tiff_packbits": encode_tiff(_IMG, compression=32773, rows_per_strip=8),
 }
 
 
