@@ -91,13 +91,14 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
 
 def resize_images(df: DataFrame, out_w: int, out_h: int,
                   id_col: str = "image_id",
-                  bytes_col: str = "bytes") -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode PNG (fully real)."""
+                  bytes_col: str = "bytes",
+                  out_fmt: str = "png") -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (fully real); any
+    ``multimodal.encode_image`` output format."""
     cols = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..functions.png import encode_png
-        from .multimodal import decode_image
+        from .multimodal import decode_image, encode_image
 
         ys = None
         for pdf in batches:
@@ -115,7 +116,8 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 resized = arr[yi][:, xi]
-                rows.append((iid, encode_png(resized), out_w, out_h))
+                rows.append((iid, encode_image(resized, out_fmt),
+                             out_w, out_h))
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               RESIZE_SCHEMA.fields])
 

@@ -93,6 +93,73 @@ def decode_image(payload: bytes, fmt: str | None = None,
     return arr
 
 
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Encode pixels in any supported output format (the write side of
+    ``decode_image``): png / jpeg / webp (lossless VP8L) / gif
+    (palette-exact, <= 256 colors) / bmp / tiff."""
+    fmt = fmt.lower()
+    if fmt == "png":
+        from ..functions.png import encode_png
+
+        return encode_png(arr)
+    if fmt in ("jpeg", "jpg"):
+        from ..functions.jpeg import encode_jpeg
+
+        return encode_jpeg(arr)
+    if fmt == "webp":
+        from ..functions.webp import encode_webp
+
+        return encode_webp(arr)
+    if fmt == "gif":
+        from ..functions.gif import encode_gif
+
+        return encode_gif(arr)
+    if fmt == "bmp":
+        from ..functions.bmp import encode_bmp
+
+        return encode_bmp(arr)
+    if fmt == "tiff":
+        from ..functions.tiff import encode_tiff
+
+        return encode_tiff(arr, compression=8)
+    raise ValueError(f"unsupported output format: {fmt}")
+
+
+TRANSCODE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), True),
+    T.StructField("bytes", T.BinaryType(), True),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("ok", T.BooleanType(), True),
+])
+
+
+def transcode_images(df: DataFrame, to_fmt: str,
+                     id_col: str = "image_id",
+                     bytes_col: str = "bytes") -> DataFrame:
+    """Format conversion sink: decode any supported input, re-encode as
+    ``to_fmt``.  Rows that cannot decode — or cannot be represented in
+    the target (e.g. truecolor -> GIF's 256-color limit) — come back
+    with ``ok=false`` and NULL bytes instead of failing the batch."""
+    encode_image(np.zeros((1, 1, 3), np.uint8), to_fmt)   # validate early
+    cols = df.select(F.col(id_col).alias("image_id"), F.col(bytes_col))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, payload in zip(pdf["image_id"], pdf[bytes_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("NULL payload")
+                    out = encode_image(decode_image(bytes(payload)), to_fmt)
+                    rows.append((iid, out, to_fmt, True))
+                except (ValueError, NotImplementedError):
+                    rows.append((iid, None, to_fmt, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              TRANSCODE_SCHEMA.fields])
+
+    return cols.mapInPandas(kernel, TRANSCODE_SCHEMA)
+
+
 def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
                              sample_fraction: float = 1.0) -> DataFrame:
     """Violation rows for the per-row invariants vs the reference content:
