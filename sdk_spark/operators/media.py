@@ -191,6 +191,16 @@ def sample_frames(df: DataFrame, every_n: int = 2,
                         rows.append((mid, idx, encode_png(rgb),
                                      float(rgb.mean())))
                     continue
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    from ..functions.avi import decode_avi_frames
+                    from ..functions.jpeg import decode_jpeg
+
+                    jpegs, _, _ = decode_avi_frames(payload)
+                    for idx in range(0, len(jpegs), every_n):
+                        arr = decode_jpeg(jpegs[idx])
+                        rows.append((mid, idx, encode_png(arr),
+                                     float(arr.mean())))
+                    continue
                 try:
                     frames = _demux_rawv(payload)
                 except NotImplementedError:

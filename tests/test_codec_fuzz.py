@@ -95,6 +95,20 @@ def test_corrupt_wav_fails_closed():
                 pass
 
 
+def test_corrupt_avi_fails_closed():
+    from sdk_spark.functions.avi import decode_avi_frames, encode_avi_mjpeg
+
+    jpeg = bytes(PAYLOADS["jpeg"])
+    avi = encode_avi_mjpeg([jpeg, jpeg], 32, 24)
+    for case in _mutations(avi):
+        with _Timeout():
+            try:
+                frames, fps, dims = decode_avi_frames(case)
+                assert frames and fps > 0
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_header_grafts_fail_closed():
     """A header of one format glued to the body of another."""
     names = sorted(PAYLOADS)
