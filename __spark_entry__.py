@@ -442,6 +442,34 @@ def q_pair_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("jaccard", 4).alias("jaccard"))
 
 
+#: 15 letters x 4-bit counts -> a 60-bit content fingerprint, expressible
+#: IDENTICALLY in Spark SQL and DuckDB (length/replace/%/* only), standing
+#: in for the image table's phash so the Hamming-LSH operator gets a
+#: hash-match oracle on the shared parquet tables
+_FP_LETTERS = "etaoinshrdlucmf"
+_FP_EXPR = " + ".join(
+    f"((length(text) - length(replace(text, '{c}', ''))) % 16)"
+    f" * CAST({1 << (4 * i)} AS BIGINT)"      # BIGINT: Spark ANSI int32
+    for i, c in enumerate(_FP_LETTERS))       # multiply would overflow
+
+
+def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming near-duplicate pairs on a 64-bit perceptual-hash column
+    (north-rule phash path): collapse identical hashes, banded Hamming
+    LSH with the pigeonhole recall guarantee (max_distance < bands),
+    single-exchange pair expansion, exact bit_count rescore JVM-side."""
+    from sdk_spark.operators.similarity import phash_near_duplicates
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.expr(_FP_EXPR).cast("long").alias("phash")))
+    out = phash_near_duplicates(docs, phash_col="phash", id_col="doc_id",
+                                max_distance=3, bands=8)
+    return out.select("phash_a", "phash_b", "id_a", "id_b",
+                      "members_a", "members_b",
+                      F.col("hamming").cast("int").alias("hamming"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -469,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_dialect": q_pattern_dialect,
         "content_dedup_keep": q_content_dedup_keep,
         "pair_jaccard": q_pair_jaccard,
+        "phash_near_dups": q_phash_near_dups,
     }
 
 
@@ -734,6 +763,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_ann": """
             SELECT 10 AS k, 1 AS recall_ok
+        """,
+        # brute-force O(d²) over DISTINCT fingerprints — the LSH result
+        # must equal it exactly (pigeonhole recall, max_distance < bands)
+        "phash_near_dups": f"""
+            WITH fp AS (
+              SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS fp
+              FROM documents WHERE text IS NOT NULL
+            ), reps AS (
+              SELECT fp, MIN(doc_id) AS rep_id, COUNT(*) AS members
+              FROM fp GROUP BY fp
+            )
+            SELECT a.fp AS phash_a, b.fp AS phash_b,
+                   a.rep_id AS id_a, b.rep_id AS id_b,
+                   a.members AS members_a, b.members AS members_b,
+                   CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+            FROM reps a JOIN reps b ON a.fp < b.fp
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
         """,
     }
 

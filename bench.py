@@ -52,6 +52,7 @@ HEADLINE = [
     "lang_id",
     "embedding_topk",
     "embedding_ann_ivf",
+    "phash_near_dups",
     "image_validate",
 ]
 

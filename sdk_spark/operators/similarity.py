@@ -207,3 +207,76 @@ def oversized_cosine_buckets(df: DataFrame, id_col: str = "vec_id",
     return (b.groupBy("lsh_bucket")
             .agg(F.count(F.lit(1)).alias("members"))
             .where(F.col("members") > F.lit(max_bucket_size)))
+
+
+# -- perceptual-hash (int64 Hamming) near-duplicates ---------------------------
+
+
+def phash_near_duplicates(df: DataFrame, phash_col: str = "phash",
+                          id_col: str = "image_id", max_distance: int = 4,
+                          bands: int = 8,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance on a 64-bit perceptual
+    hash (the ``phash`` column of the north-rule image table).
+
+    100-TB shape, in order:
+
+    1. **Collapse identical hashes first.**  Exact-duplicate content —
+       including the planted hot key where 30% of rows share one phash —
+       reduces to ONE representative per distinct hash (salted-safe
+       groupBy), so bucket sizes downstream are bounded by content
+       diversity, not row skew.
+    2. **Banded Hamming LSH.**  The 64 bits split into ``bands``
+       contiguous slices; two hashes within ``max_distance`` share at
+       least one identical slice whenever ``max_distance < bands``
+       (pigeonhole), so recall is exact by construction, not
+       probabilistic.
+    3. **Single-exchange in-bucket pair expansion** (same machinery as
+       the minhash path), bucket-capped.
+    4. **Exact rescore JVM-side**: ``bit_count(a XOR b) <= max_distance``
+       — no Python in the hot path.
+
+    Returns (phash_a, phash_b, id_a, id_b, members_a, members_b,
+    hamming); ``members_*`` carries how many original rows each
+    representative stands for.
+    """
+    if not 64 % bands == 0:
+        raise ValueError("bands must divide 64")
+    if max_distance >= bands:
+        raise ValueError(
+            f"recall guarantee needs max_distance < bands "
+            f"({max_distance} >= {bands})")
+    from .dedup import _bucket_pairs, DEFAULT_MAX_BUCKET
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    reps = (df.where(F.col(phash_col).isNotNull())
+            .groupBy(F.col(phash_col).alias("id"))
+            .agg(F.min(id_col).alias("rep_id"),
+                 F.count(F.lit(1)).alias("members")))
+    exploded = reps.select(
+        "id", "rep_id", "members",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("id"), b * width)
+                     .bitwiseAND(F.lit(mask)).alias("bucket"))
+            for b in range(bands)])).alias("bb")) \
+        .select("id", "rep_id", "members",
+                F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
+    pairs = _bucket_pairs(exploded, ["band", "bucket"],
+                          ["rep_id", "members"], max_bucket_size)
+    ham = F.bit_count(F.col("a.id").bitwiseXOR(F.col("b.id")))
+    return (pairs
+            .select(F.col("a.id").alias("phash_a"),
+                    F.col("b.id").alias("phash_b"),
+                    F.col("a.rep_id").alias("id_a"),
+                    F.col("b.rep_id").alias("id_b"),
+                    F.col("a.members").alias("members_a"),
+                    F.col("b.members").alias("members_b"),
+                    ham.alias("hamming"))
+            .where(F.col("hamming") <= F.lit(max_distance))
+            .distinct())

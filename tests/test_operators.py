@@ -185,3 +185,39 @@ def test_rolling_fingerprint_stability(spark, docs):
     assert fps[0] == fps[6]           # identical docs: identical fingerprints
     assert fps[0][0] == fps[5][0]     # case variant: same exact fp (normalized)
     assert fps[0][0] != fps[4][0]
+
+
+def test_phash_near_duplicates(spark):
+    """Banded Hamming LSH on int64 phash: exact recall for
+    max_distance < bands, hot-key collapse, no Python in the hot path."""
+    import pytest
+    from sdk_spark.operators.similarity import phash_near_duplicates
+
+    base = 0x0123456789ABCDEF
+    rows = [("a1", base), ("a2", base ^ 0b101), ("a3", base ^ (1 << 40)),
+            ("far", base ^ 0x00FF00FF00FF00FF)]
+    rows += [(f"hot{i}", 42) for i in range(500)]   # 30%-style hot key
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = phash_near_duplicates(df, max_distance=3, bands=8).collect()
+    # pair order follows the numeric hash; normalize by id for comparison
+    got = {tuple(sorted((r["id_a"], r["id_b"]))): r["hamming"] for r in out}
+    assert got == {("a1", "a2"): 2, ("a1", "a3"): 1, ("a2", "a3"): 3}
+    # identical-hash rows collapse to one representative (no hot self-pairs)
+    assert all("hot" not in a and "hot" not in b for a, b in got)
+
+    with pytest.raises(ValueError, match="recall guarantee"):
+        phash_near_duplicates(df, max_distance=8, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        phash_near_duplicates(df, bands=7)
+
+
+def test_phash_members_counts(spark):
+    from sdk_spark.operators.similarity import phash_near_duplicates
+
+    rows = [(f"x{i}", 100) for i in range(7)] + [("y", 101)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    out = phash_near_duplicates(df, max_distance=3, bands=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert {r["members_a"], r["members_b"]} == {7, 1}
+    assert r["hamming"] == 1

@@ -163,3 +163,18 @@ def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
     got = [r["vec_id"] for r in probe.collect()]
     exact = [r["vec_id"] for r in ivf_topk(df, query, k=5, nbits=3).collect()]
     assert got == exact
+
+
+def test_phash_hamming_lsh_single_pass_shape(spark):
+    """phash near-dup: rep-collapse + banded buckets + pair expansion must
+    plan as bounded hash exchanges on REDUCED data — never a cartesian or
+    broadcast-nested-loop join, never a per-row Python stage."""
+    from sdk_spark.operators.similarity import phash_near_duplicates
+
+    df = spark.range(0, 1000).selectExpr(
+        "cast(id as string) image_id", "cast(hash(id) as long) phash")
+    text = _plan(phash_near_duplicates(df))
+    assert "CartesianProduct" not in text, text
+    assert "BroadcastNestedLoop" not in text, text
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+    assert len(re.findall(r"Exchange hashpartitioning", text)) <= 3, text
