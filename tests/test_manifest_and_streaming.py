@@ -161,3 +161,48 @@ def test_first_seen_dedup_stateful(spark, tmp_path):
     keys = sorted(r["key"] for r in
                   spark.sql("SELECT * FROM first_seen_t").collect())
     assert keys == ["x", "y", "z"]
+
+
+def test_streaming_image_table_validation(spark, tmp_path):
+    """North-rule table through Structured Streaming: the compiled image
+    schema (uuid/range/enum/pattern/required keywords) applies to a
+    readStream unchanged, and the planted metadata defects surface as
+    streaming violation rows — including a mapInPandas pixel stage, which
+    Structured Streaming executes per micro-batch without code changes."""
+    from sdk_spark.operators.multimodal import decode_features
+    from sdk_spark.sources.images import (IMAGE_STRUCT_SCHEMA,
+                                          IMAGE_TABLE_SCHEMA,
+                                          expected_violation_ids,
+                                          generate_images)
+    from sdk_spark.streaming.validate_stream import streaming_violations
+
+    n = 200
+    src = str(tmp_path / "img_src")
+    generate_images(spark, n, partitions=4).write.parquet(src)
+    expected = expected_violation_ids(n)
+
+    stream = spark.readStream.schema(IMAGE_TABLE_SCHEMA).parquet(src)
+    out = streaming_violations(stream, IMAGE_STRUCT_SCHEMA, ["image_id"])
+    q = (out.writeStream.format("memory").queryName("img_viol")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM img_viol").collect()
+    by_code = {}
+    for r in got:
+        by_code.setdefault(r["constraint_id"], []).append(r["image_id"])
+    assert len(by_code["INSTANCE_NUMBER_MINIMUM"]) == len(expected["w_min"])
+    assert len(by_code["INSTANCE_NUMBER_MAXIMUM"]) == len(expected["h_max"])
+    assert len(by_code["INSTANCE_ENUM_MISMATCH"]) == len(expected["fmt_enum"])
+    assert len(by_code["INSTANCE_STRING_MIN_LENGTH"]) == \
+        len(expected["cap_minlen"])
+    assert len(by_code["INSTANCE_REQUIRED_PROPERTY_MISSING"]) == \
+        len(expected["cap_required"])
+
+    # Arrow decode stage on the same stream (binary column -> features)
+    feats = decode_features(stream)
+    q2 = (feats.writeStream.format("memory").queryName("img_feats")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM img_feats").collect()
+    assert len(rows) == n
+    assert sum(1 for r in rows if r["decode_ok"]) == n   # payloads all real
