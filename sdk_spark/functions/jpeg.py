@@ -123,6 +123,33 @@ def _build_decode(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int
     return {cl: sym for sym, cl in _build_codes(bits, vals).items()}
 
 
+#: LUTs keyed by the raw DHT payload — standard (Annex K) tables repeat
+#: across virtually all files, so the 65536-entry build amortizes to zero
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _build_lut(decode_table: dict[tuple[int, int], int],
+               raw_key: bytes | None = None) -> list[int]:
+    """16-bit peek LUT: entry = (code_length << 8) | symbol, 0 = invalid.
+
+    One list index replaces the bit-by-bit dict walk in the baseline hot
+    loop (max JPEG code length is 16, so a 65536-entry table is exact)."""
+    if raw_key is not None:
+        cached = _LUT_CACHE.get(raw_key)
+        if cached is not None:
+            return cached
+    lut = np.zeros(1 << 16, dtype=np.int32)
+    for (code, length), sym in decode_table.items():
+        start = code << (16 - length)
+        lut[start:start + (1 << (16 - length))] = (length << 8) | sym
+    out = lut.tolist()
+    if raw_key is not None:
+        if len(_LUT_CACHE) > 64:           # bound memory on adversarial input
+            _LUT_CACHE.clear()
+        _LUT_CACHE[raw_key] = out
+    return out
+
+
 class _BitWriter:
     def __init__(self) -> None:
         self.out = bytearray()
@@ -547,13 +574,10 @@ class _BitReader:
 
     def scan_end(self) -> int:
         """Index just past this scan's entropy data (next non-RST marker)."""
-        p = self.pos
-        while p + 1 < len(self.data):
-            if self.data[p] == 0xFF and self.data[p + 1] not in (0x00,) \
-                    and not (0xD0 <= self.data[p + 1] <= 0xD7):
-                return p
-            p += 1
-        return len(self.data)
+        import re
+
+        m = re.compile(b"\xff(?![\x00\xd0-\xd7])").search(self.data, self.pos)
+        return m.start() if m else len(self.data)
 
 
 def _extend(v: int, size: int) -> int:
@@ -676,6 +700,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
+    hluts: dict[int, list[int]] = {}
+    hraw: dict[int, bytes] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     frame = None
     progressive = False
@@ -713,6 +739,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 nv = sum(bits)
                 vals = list(seg[p + 17:p + 17 + nv])
                 htables[tc] = _build_decode(bits, vals)
+                hraw[tc] = bytes(seg[p + 1:p + 17 + nv])
+                hluts.pop(tc, None)        # DHT may redefine a table id
                 p += 17 + nv
         elif marker == 0xDD:
             dri = int.from_bytes(seg[0:2], "big")
@@ -756,10 +784,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             scan = {"ss": ss, "se": se, "ah": a >> 4, "al": a & 0x0F,
                     "comps": scan_comps}
             br = _BitReader(payload, pos + seglen)
-            _decode_scan(br, scan, frame, geom, coefs, htables, dri,
-                         progressive)
+            scan_end = br.scan_end()
+            if not progressive:
+                # LUT fast path (baseline only; progressive scans keep the
+                # reference-shaped reader)
+                for key, table in htables.items():
+                    if key not in hluts:
+                        hluts[key] = _build_lut(table, hraw.get(key))
+                segments = _split_entropy_segments(payload, pos + seglen,
+                                                   scan_end)
+                _fast_baseline_scan(segments, scan, frame, geom, coefs,
+                                    hluts, dri)
+            else:
+                _decode_scan(br, scan, frame, geom, coefs, htables, dri,
+                             progressive)
             saw_scan = True
-            pos = br.scan_end()
+            pos = scan_end
             continue
         pos += seglen
     if frame is None or not saw_scan:
@@ -784,6 +824,162 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         y = np.clip(full[0].round(), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+def _split_entropy_segments(payload: bytes, start: int, end: int) -> list[bytes]:
+    """Entropy data [start:end) split at RSTn markers, byte-unstuffed.
+
+    Each returned segment decodes with a fresh bit phase and DC
+    predictors (T.81 restart semantics); 0xFF00 stuffing collapses to a
+    literal 0xFF so the hot loop never tests for markers."""
+    import re
+
+    raw = payload[start:end]
+    return [s.replace(b"\xff\x00", b"\xff")
+            for s in re.split(b"\xff[\xd0-\xd7]", raw)]
+
+
+def _fast_baseline_scan(segments, scan, frame, geom, coefs, luts, dri):
+    """Baseline sequential scan via the 16-bit Huffman LUT.
+
+    All bit-reader state lives in local variables (acc/nbits/pos) and
+    every Huffman symbol costs one list index + shift — ~20x the
+    bit-by-bit dict walk.  Blocks decode into a plain Python list and
+    land in the (nblocks, 64) coefficient array as one row assignment."""
+    comps = frame["comps"]
+    interleaved = len(scan["comps"]) > 1
+    preds = [0] * len(comps)
+
+    # flatten the block sequence: (comp_flat_array, block_row, dc_lut, ac_lut)
+    flats = [coefs[ci].reshape(-1, coefs[ci].shape[2]) for ci in
+             range(len(comps))]
+    order: list[tuple] = []                 # one entry per block, MCU order
+    restart_every = 0
+    if interleaved:
+        mcus_x, mcus_y = geom["mcus_x"], geom["mcus_y"]
+        per_mcu = []
+        for (ci, td, ta) in scan["comps"]:
+            c = comps[ci]
+            per_mcu.append((ci, c["h"], c["v"], luts[td], luts[0x10 | ta],
+                            coefs[ci].shape[1]))
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, ch, cv, dlut, alut, bw_ in per_mcu:
+                    for by in range(cv):
+                        for bx in range(ch):
+                            order.append((ci, (my * cv + by) * bw_
+                                          + mx * ch + bx, dlut, alut))
+        restart_every = dri * len(order) // (mcus_x * mcus_y) if dri else 0
+    else:
+        (ci, td, ta) = scan["comps"][0]
+        c = comps[ci]
+        cw = -(-frame["w"] * c["h"] // geom["hmax"])
+        ch_ = -(-frame["h"] * c["v"] // geom["vmax"])
+        nbw, nbh = -(-cw // 8), -(-ch_ // 8)
+        bw_ = coefs[ci].shape[1]
+        dlut, alut = luts[td], luts[0x10 | ta]
+        for i in range(nbw * nbh):
+            by, bx = divmod(i, nbw)
+            order.append((ci, by * bw_ + bx, dlut, alut))
+        restart_every = dri if dri else 0
+
+    seg_i = 0
+    data = segments[0]
+    n = len(data)
+    pos = 0
+    acc = 0
+    nbits = 0
+    for bi, (ci, row, dlut, alut) in enumerate(order):
+        if restart_every and bi and bi % restart_every == 0:
+            seg_i += 1
+            if seg_i < len(segments):
+                data = segments[seg_i]
+                n = len(data)
+                pos = 0
+                acc = 0
+                nbits = 0
+                preds = [0] * len(comps)
+        blk = [0] * 64
+        # -- DC --
+        if nbits < 16:
+            chunk = data[pos:pos + 24]
+            if chunk:
+                acc = (acc << (8 * len(chunk))) | int.from_bytes(chunk, "big")
+                nbits += 8 * len(chunk)
+                pos += len(chunk)
+        peek = ((acc >> (nbits - 16)) & 0xFFFF) if nbits >= 16 \
+            else ((acc << (16 - nbits)) & 0xFFFF)
+        e = dlut[peek]
+        if e == 0:
+            raise ValueError("invalid huffman code")
+        ln = e >> 8
+        s = e & 0xFF
+        nbits -= ln
+        if nbits < 0:
+            nbits = 0
+        acc &= (1 << nbits) - 1
+        if s:
+            if nbits < s:
+                chunk = data[pos:pos + 24]
+                if chunk:
+                    acc = (acc << (8 * len(chunk))) \
+                        | int.from_bytes(chunk, "big")
+                    nbits += 8 * len(chunk)
+                    pos += len(chunk)
+                if nbits < s:               # truncated scan: zero-pad
+                    acc <<= (s - nbits)
+                    nbits = s
+            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+            nbits -= s
+            acc &= (1 << nbits) - 1
+            preds[ci] += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        blk[0] = preds[ci]
+        # -- AC --
+        k = 1
+        while k < 64:
+            if nbits < 16:
+                chunk = data[pos:pos + 24]
+                if chunk:
+                    acc = (acc << (8 * len(chunk))) \
+                        | int.from_bytes(chunk, "big")
+                    nbits += 8 * len(chunk)
+                    pos += len(chunk)
+            peek = ((acc >> (nbits - 16)) & 0xFFFF) if nbits >= 16 \
+                else ((acc << (16 - nbits)) & 0xFFFF)
+            e = alut[peek]
+            if e == 0:
+                raise ValueError("invalid huffman code")
+            ln = e >> 8
+            sym = e & 0xFF
+            nbits -= ln
+            if nbits < 0:
+                nbits = 0
+            acc &= (1 << nbits) - 1
+            if sym == 0:
+                break
+            if sym == 0xF0:
+                k += 16
+                continue
+            k += sym >> 4
+            s = sym & 0x0F
+            if k > 63:
+                raise ValueError("AC index out of range")
+            if nbits < s:
+                chunk = data[pos:pos + 24]
+                if chunk:
+                    acc = (acc << (8 * len(chunk))) \
+                        | int.from_bytes(chunk, "big")
+                    nbits += 8 * len(chunk)
+                    pos += len(chunk)
+                if nbits < s:
+                    acc <<= (s - nbits)
+                    nbits = s
+            v = (acc >> (nbits - s)) & ((1 << s) - 1)
+            nbits -= s
+            acc &= (1 << nbits) - 1
+            blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            k += 1
+        flats[ci][row] = blk
 
 
 def _decode_scan(br, scan, frame, geom, coefs, htables, dri, progressive):
