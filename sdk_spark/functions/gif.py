@@ -45,9 +45,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     eoi = clear + 1
     out = bytearray()
 
-    # table as parallel prefix/suffix arrays (index = code)
-    prefix = np.full(4096, -1, dtype=np.int32)
-    suffix = np.zeros(4096, dtype=np.uint8)
+    # table as parallel prefix/suffix lists (index = code; plain lists —
+    # per-element numpy scalar reads are 5x slower in this serial loop)
+    prefix = [-1] * 4096
+    suffix = [0] * 4096
     for i in range(clear):
         suffix[i] = i
 
@@ -63,14 +64,18 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     stack = bytearray(4096)
 
     while len(out) < n_pixels:
-        while nbits < width:
-            if pos >= ln:
+        if nbits < width:
+            chunk = data[pos:pos + 8]      # bulk refill (LSB-first)
+            if not chunk:
                 # short stream: pad remaining pixels (browser behavior)
                 out.extend(b"\x00" * (n_pixels - len(out)))
                 return out
-            acc |= data[pos] << nbits
-            pos += 1
-            nbits += 8
+            acc |= int.from_bytes(chunk, "little") << nbits
+            nbits += 8 * len(chunk)
+            pos += len(chunk)
+            if nbits < width:
+                out.extend(b"\x00" * (n_pixels - len(out)))
+                return out
         code = acc & ((1 << width) - 1)
         acc >>= width
         nbits -= width

@@ -61,16 +61,41 @@ class _Reader:
         self.nbits -= nbits
         return v
 
+    def peek(self, nbits: int) -> int:
+        """Next ``nbits`` stream bits without consuming (zero-padded at
+        stream end) — the prefix LUT's window."""
+        while self.nbits < nbits and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << nbits) - 1)
+
+    def consume(self, nbits: int) -> None:
+        if nbits > self.nbits:             # zero-padded tail bits
+            nbits = self.nbits
+        self.acc >>= nbits
+        self.nbits -= nbits
+
 
 # code-length-code symbol order (RFC 9649 section 4.1.1)
 _CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
              14, 15]
 
 
-class _Prefix:
-    """Canonical prefix decoder built from code lengths."""
+_LUT_BITS = 10                             # root-table window (zlib-style)
 
-    __slots__ = ("single", "table", "maxlen")
+
+class _Prefix:
+    """Canonical prefix decoder built from code lengths.
+
+    Hot path is a root LUT over the next 10 stream bits (codes are read
+    MSB-of-code-first but the stream is LSB-first, so the table is
+    indexed by the BIT-REVERSED code): one list index + shift per symbol
+    for every code of length <= 10; longer codes (rare) take the
+    bit-walk fallback over a peeked window, consuming nothing until the
+    code length is known."""
+
+    __slots__ = ("single", "table", "maxlen", "lut", "lbits")
 
     def __init__(self, lengths: dict[int, int]):
         nz = {s: l for s, l in lengths.items() if l > 0}
@@ -80,27 +105,45 @@ class _Prefix:
             self.single = next(iter(nz))
             self.table = {}
             self.maxlen = 0
+            self.lut = None
+            self.lbits = 0
             return
         self.single = None
         code = 0
         prev = 0
         self.table = {}
         self.maxlen = max(nz.values())
+        self.lbits = min(self.maxlen, _LUT_BITS)
+        lut = [0] * (1 << self.lbits)
         for sym in sorted(nz, key=lambda s: (nz[s], s)):
             ln = nz[sym]
             code <<= ln - prev
             self.table[(code, ln)] = sym
+            if ln <= self.lbits:
+                rev = int(f"{code:0{ln}b}"[::-1], 2)   # LSB-first index
+                entry = (ln << 16) | sym
+                step = 1 << ln
+                for idx in range(rev, 1 << self.lbits, step):
+                    lut[idx] = entry
             code += 1
             prev = ln
+        self.lut = lut
 
     def decode(self, br: _Reader) -> int:
         if self.single is not None:
             return self.single
+        e = self.lut[br.peek(self.lbits)]
+        if e:
+            br.consume(e >> 16)
+            return e & 0xFFFF
+        # long code: walk lengths over a peeked window, then consume once
+        pk = br.peek(self.maxlen)
         code = 0
         for ln in range(1, self.maxlen + 1):
-            code = (code << 1) | br.read(1)
+            code = (code << 1) | ((pk >> (ln - 1)) & 1)
             sym = self.table.get((code, ln))
             if sym is not None:
+                br.consume(ln)
                 return sym
         raise ValueError("invalid prefix code")
 
