@@ -549,14 +549,21 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def huff(self, table: dict[tuple[int, int], int]) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((code, length))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid huffman code")
+    def huff(self, lut: list[int]) -> int:
+        """One Huffman symbol via the 16-bit peek LUT (see _build_lut)."""
+        self._fill()
+        nb = self.nbits
+        peek = ((self.acc >> (nb - 16)) & 0xFFFF) if nb >= 16 \
+            else ((self.acc << (16 - nb)) & 0xFFFF)
+        e = lut[peek]
+        if e == 0:
+            raise ValueError("invalid huffman code")
+        ln = e >> 8
+        if ln > nb:                        # zero-padded past scan end
+            ln = nb
+        self.nbits = nb - ln
+        self.acc &= (1 << self.nbits) - 1
+        return e & 0xFF
 
     def restart(self) -> None:
         """Byte-align, consume the RSTn marker, clear buffered bits."""
@@ -785,18 +792,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     "comps": scan_comps}
             br = _BitReader(payload, pos + seglen)
             scan_end = br.scan_end()
+            for key, table in htables.items():
+                if key not in hluts:
+                    hluts[key] = _build_lut(table, hraw.get(key))
             if not progressive:
-                # LUT fast path (baseline only; progressive scans keep the
-                # reference-shaped reader)
-                for key, table in htables.items():
-                    if key not in hluts:
-                        hluts[key] = _build_lut(table, hraw.get(key))
                 segments = _split_entropy_segments(payload, pos + seglen,
                                                    scan_end)
                 _fast_baseline_scan(segments, scan, frame, geom, coefs,
                                     hluts, dri)
             else:
-                _decode_scan(br, scan, frame, geom, coefs, htables, dri,
+                # progressive keeps the stateful reader; its Huffman reads
+                # go through the same LUT
+                _decode_scan(br, scan, frame, geom, coefs, hluts, dri,
                              progressive)
             saw_scan = True
             pos = scan_end
