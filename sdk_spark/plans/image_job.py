@@ -50,7 +50,8 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
                     pixel_sample_fraction: float = 1.0,
                     schema: dict | None = None,
                     key_col: str = "image_id",
-                    persist_intermediate: bool = True) -> ImageValidationResult:
+                    persist_intermediate: bool = True,
+                    check_exif: bool = False) -> ImageValidationResult:
     plan = CompiledSchema(schema or IMAGE_STRUCT_SCHEMA, extended=True)
     validated = plan.validate(df)
 
@@ -85,6 +86,12 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
         inv = pixel_caption_invariants(df, psnr_threshold, pixel_sample_fraction)
         all_viol = all_viol.unionByName(
             inv.select("image_id", "constraint_id", "path", "value"))
+    if check_exif:
+        # header-only scan (no pixel decode): declared (w, h) must agree
+        # with any embedded EXIF dims, orientation-aware
+        from ..operators.multimodal import exif_consistency_violations
+
+        all_viol = all_viol.unionByName(exif_consistency_violations(df))
 
     verdicts = (slim.groupBy(F.col("__part").alias("partition"))
                 .agg(F.count(F.lit(1)).alias("rows"),

@@ -133,3 +133,26 @@ def test_exif_consistency_operator(spark):
     assert [r["image_id"] for r in got] == ["bad-dims"]
     assert got[0]["constraint_id"] == "ENGINE_EXIF_DIMS_MISMATCH"
     assert got[0]["value"] == "100x50"
+
+
+def test_validate_images_check_exif(spark):
+    from sdk_spark.plans.image_job import validate_images
+
+    jpeg = _jpeg_fixture()
+    rows = [
+        ("11111111-1111-4111-8111-111111111111",
+         bytearray(inject_jpeg_exif(jpeg, build_exif_tiff(1, 24, 16))),
+         24, 16, "jpeg", "a caption", 1),
+        ("22222222-2222-4222-8222-222222222222",
+         bytearray(inject_jpeg_exif(jpeg, build_exif_tiff(1, 999, 16))),
+         24, 16, "jpeg", "a caption", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    res = validate_images(df, check_exif=True)
+    exif_viol = [r for r in res.violations.collect()
+                 if r["constraint_id"] == "ENGINE_EXIF_DIMS_MISMATCH"]
+    assert len(exif_viol) == 1
+    assert exif_viol[0]["image_id"].startswith("22222222")
+    res.unpersist()
