@@ -470,6 +470,23 @@ def q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components (alternating
+    large-star/small-star, O(log² n) rounds, join-based — no collected
+    neighborhoods) over the exact-recall Hamming near-dup pair graph.
+    Oracled against a DuckDB recursive-CTE transitive closure of the
+    same brute-force pair set."""
+    from sdk_spark.operators.cluster import connected_components
+    from sdk_spark.operators.similarity import phash_near_duplicates
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("text").isNotNull())
+            .select("doc_id", F.expr(_FP_EXPR).cast("long").alias("phash")))
+    pairs = phash_near_duplicates(docs, phash_col="phash", id_col="doc_id",
+                                  max_distance=3, bands=8)
+    return connected_components(pairs, src="id_a", dst="id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -498,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_dedup_keep": q_content_dedup_keep,
         "pair_jaccard": q_pair_jaccard,
         "phash_near_dups": q_phash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -780,6 +798,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
             FROM reps a JOIN reps b ON a.fp < b.fp
             WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        """,
+        # transitive closure of the same brute-force pair graph; MIN over
+        # everything reachable = the component-minimum label the Spark
+        # large-star/small-star fixpoint assigns
+        "dedup_clusters": f"""
+            WITH RECURSIVE fp AS (
+              SELECT doc_id, CAST({_FP_EXPR} AS BIGINT) AS fp
+              FROM documents WHERE text IS NOT NULL
+            ), reps AS (
+              SELECT fp, MIN(doc_id) AS rep_id
+              FROM fp GROUP BY fp
+            ), prs AS (
+              SELECT a.rep_id AS u, b.rep_id AS v
+              FROM reps a JOIN reps b ON a.fp < b.fp
+              WHERE bit_count(xor(a.fp, b.fp)) <= 3
+            ), edges AS (
+              SELECT u, v FROM prs UNION SELECT v, u FROM prs
+            ), reach(id, comp) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v
+            )
+            SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id
         """,
     }
 
