@@ -161,7 +161,10 @@ def transcode_images(df: DataFrame, to_fmt: str,
 
 
 def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
-                             sample_fraction: float = 1.0) -> DataFrame:
+                             sample_fraction: float = 1.0,
+                             check_phash: bool = False,
+                             phash_tolerance: int = 6,
+                             phash_col: str = "phash") -> DataFrame:
     """Violation rows for the per-row invariants vs the reference content:
     decoded-pixel PSNR >= threshold and caption byte-equality.
 
@@ -170,19 +173,31 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
     the check is join-free and embarrassingly parallel.  ``sample_fraction``
     trades coverage for cost at extreme scale (full decode of 10^12 images
     is a deliberate budget decision, not a default).
+
+    ``check_phash`` validates the stored perceptual-hash column against
+    the hash recomputed from the decoded pixels, in the SAME decode pass
+    (the hash is an 8x8 mean reduction — decode dominates, so fusing it
+    here is free; a standalone scan would double the job's byte I/O).
+    Lossless formats must match exactly; ``phash_tolerance`` Hamming bits
+    absorb mean-threshold flips in lossy formats (q95 JPEG / VP8 keep
+    PSNR >= ~42 dB, which can still move cell means that straddle the
+    global mean).
     """
     if sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=42)
-    cols = df.select("image_id", "bytes", "caption")
+    want = ["image_id", "bytes", "caption"] + ([phash_col] if check_phash else [])
+    cols = df.select(*want)
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.png import psnr
-        from ..sources.images import reference_caption, reference_pixels
+        from ..sources.images import (average_hash, reference_caption,
+                                      reference_pixels)
 
         for pdf in batches:
             rows = []
-            for image_id, payload, caption in zip(
-                    pdf["image_id"], pdf["bytes"], pdf["caption"]):
+            stored_hashes = pdf[phash_col] if check_phash else None
+            for idx, (image_id, payload, caption) in enumerate(zip(
+                    pdf["image_id"], pdf["bytes"], pdf["caption"])):
                 if image_id is None or payload is None:
                     continue
                 try:
@@ -200,9 +215,57 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
                 if caption is not None and caption != reference_caption(image_id):
                     rows.append((image_id, E.ENGINE_CAPTION_MISMATCH, "#/caption",
                                  str(caption)[:128]))
+                if check_phash and stored_hashes.iloc[idx] is not None \
+                        and not pd.isna(stored_hashes.iloc[idx]):
+                    stored = int(stored_hashes.iloc[idx])
+                    computed = average_hash(decoded)
+                    ham = ((stored ^ computed) & ((1 << 64) - 1)).bit_count()
+                    if ham > phash_tolerance:
+                        rows.append((image_id, E.ENGINE_PHASH_MISMATCH,
+                                     f"#/{phash_col}",
+                                     f"stored={stored} computed={computed} "
+                                     f"hamming={ham}"))
             yield pd.DataFrame(rows, columns=[f.name for f in PIXEL_CHECK_SCHEMA.fields])
 
     return cols.mapInPandas(check, PIXEL_CHECK_SCHEMA)
+
+
+COMPUTE_PHASH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType(), True),
+    T.StructField("phash_computed", T.LongType(), True),
+    T.StructField("decode_ok", T.BooleanType(), True),
+])
+
+
+def compute_phash(df: DataFrame, id_col: str = "image_id",
+                  bytes_col: str = "bytes") -> DataFrame:
+    """(id, phash_computed, decode_ok): populate the perceptual-hash
+    column from pixels — the producer side of ``phash_near_duplicates``
+    and the ``check_phash`` invariant.  Arrow-batched decode; rows that
+    fail to decode surface as (id, NULL, false), never an exception.
+    """
+    cols = df.select(F.col(id_col).alias("image_id"),
+                     F.col(bytes_col).alias("bytes"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.images import average_hash
+
+        for pdf in batches:
+            rows = []
+            for image_id, payload in zip(pdf["image_id"], pdf["bytes"]):
+                if payload is None:
+                    rows.append((image_id, None, False))
+                    continue
+                try:
+                    rows.append((image_id,
+                                 average_hash(decode_image(bytes(payload))),
+                                 True))
+                except (NotImplementedError, ValueError):
+                    rows.append((image_id, None, False))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              COMPUTE_PHASH_SCHEMA.fields])
+
+    return cols.mapInPandas(kernel, COMPUTE_PHASH_SCHEMA)
 
 
 def decode_features(df: DataFrame) -> DataFrame:

@@ -5,8 +5,9 @@ One pass over the image+caption table produces:
 1. row-level constraint violations from the compiled Catalyst plan
    (uuid/range/enum/length/pattern/required — zero Python),
 2. table-level uniqueness violations (two-phase salted aggregation),
-3. optional per-row decoded-pixel PSNR + caption-equality invariants
-   (Arrow-batched kernel), and
+3. optional per-row decoded-pixel PSNR + caption-equality invariants and
+   stored-phash-vs-decoded-pixels consistency (one Arrow-batched decode
+   pass serves both), and
 4. per-partition pass/fail verdicts.
 
 Scan discipline (SURVEY.md §4.3 persist-once dual-write): the compiled
@@ -51,7 +52,9 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
                     schema: dict | None = None,
                     key_col: str = "image_id",
                     persist_intermediate: bool = True,
-                    check_exif: bool = False) -> ImageValidationResult:
+                    check_exif: bool = False,
+                    check_phash: bool = False,
+                    phash_tolerance: int = 6) -> ImageValidationResult:
     plan = CompiledSchema(schema or IMAGE_STRUCT_SCHEMA, extended=True)
     validated = plan.validate(df)
 
@@ -82,8 +85,15 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
                          F.col(key_col).cast("string").alias("value")))
 
     all_viol = row_viol.unionByName(uniq_viol)
-    if check_pixels:
-        inv = pixel_caption_invariants(df, psnr_threshold, pixel_sample_fraction)
+    if check_pixels or check_phash:
+        # phash consistency rides the same decode pass as the PSNR
+        # invariant — one scan of the heavy ``bytes`` column either way
+        inv = pixel_caption_invariants(
+            df, psnr_threshold, pixel_sample_fraction,
+            check_phash=check_phash, phash_tolerance=phash_tolerance)
+        if check_phash and not check_pixels:
+            inv = inv.where(F.col("constraint_id").isin(
+                E.ENGINE_PHASH_MISMATCH))
         all_viol = all_viol.unionByName(
             inv.select("image_id", "constraint_id", "path", "value"))
     if check_exif:

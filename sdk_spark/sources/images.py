@@ -108,15 +108,23 @@ def reference_caption(image_id: str) -> str:
 
 
 def average_hash(arr: np.ndarray) -> int:
-    """8x8 average hash → signed int64 (the ``phash`` column)."""
-    gray = arr.mean(axis=2)
+    """8x8 average hash → signed int64 (the ``phash`` column).
+
+    Accepts (H, W), (H, W, 1), (H, W, 3) or (H, W, 4); alpha is ignored
+    so a hash computed from an RGBA decode matches the RGB original."""
+    gray = arr if arr.ndim == 2 else arr[..., :3].mean(axis=2) \
+        if arr.shape[2] >= 3 else arr[..., 0]
     hh, ww = gray.shape
     ys = np.linspace(0, hh, 9, dtype=int)
     xs = np.linspace(0, ww, 9, dtype=int)
     cells = np.array([[gray[ys[i]:max(ys[i + 1], ys[i] + 1),
                             xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
                        for j in range(8)] for i in range(8)])
-    bits = (cells >= cells.mean()).flatten()
+    # one-gray-level epsilon: flat content (every cell AT the mean) hashes
+    # deterministically to all-ones instead of flipping on float-summation
+    # ulps or sub-level lossy noise — without it a solid-color image's
+    # hash is unstable between encode and decode
+    bits = (cells >= cells.mean() - 1.0).flatten()
     v = 0
     for b in bits:
         v = (v << 1) | int(b)
