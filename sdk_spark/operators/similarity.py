@@ -280,3 +280,143 @@ def phash_near_duplicates(df: DataFrame, phash_col: str = "phash",
                     ham.alias("hamming"))
             .where(F.col("hamming") <= F.lit(max_distance))
             .distinct())
+
+
+# -- trained IVF (k-means coarse quantizer) ------------------------------------
+
+
+def _kmeans_assign_partials(centroids: "np.ndarray", vec_col: str):
+    """Arrow kernel: per-batch (cluster, count, elementwise-sum) partials.
+
+    The full Lloyd's assignment step for a batch is ONE n×d·d×k matmul in
+    numpy; only k rows per batch leave Python, so the per-iteration
+    shuffle is k·num_batches rows regardless of table size — the same
+    partial-aggregation shape MLlib's treeAggregate uses.
+    """
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)          # k×d
+    c2 = (C ** 2).sum(axis=1)[None, :]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])        # n×d
+            d2 = (V ** 2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2
+            assign = d2.argmin(axis=1)
+            rows = []
+            for c in np.unique(assign):
+                m = assign == c
+                rows.append((int(c), int(m.sum()), V[m].sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+    return kernel
+
+
+def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        tol: float = 1e-6,
+                        sample_fraction: float | None = None,
+                        seed: int = 42) -> "np.ndarray":
+    """Lloyd's k-means for the IVF coarse quantizer; returns k×d centroids.
+
+    100-TB shape per iteration: one Arrow pass emits k partial
+    (count, sum) rows per batch; a JVM posexplode + groupBy((cluster,
+    pos)) reduces them to k·d cells collected to the driver (a few KB —
+    the same driver-side centroid update every distributed k-means does).
+    Initialization is DETERMINISTIC and spread-out: farthest-first
+    traversal (Gonzalez k-center) over the ``256·k`` vectors with the
+    smallest ``xxhash64(id)`` — hash order is stable across partitionings
+    and cluster sizes, so a re-run reproduces the same index, and the
+    greedy spreading avoids the two-seeds-in-one-cluster local optimum
+    that plain hash-order init falls into.  ``sample_fraction`` trains on
+    a seeded sample (the standard budget move: centroids from ~1% of
+    10^12 rows are statistically indistinguishable).  Empty clusters keep
+    their previous centroid.
+    """
+    from pyspark.sql import types as T
+
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v")) \
+             .where(F.col("v").isNotNull())
+    if sample_fraction is not None and sample_fraction < 1.0:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+
+    init_rows = (base.orderBy(F.xxhash64("id"), F.col("id"))
+                 .limit(256 * k).select("v").collect())
+    if len(init_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
+    S = np.asarray([r["v"] for r in init_rows], dtype=np.float64)
+    chosen = [0]                                   # lowest-hash vector
+    d2min = ((S - S[0][None, :]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((S - S[nxt][None, :]) ** 2).sum(axis=1))
+    C = S[chosen].copy()
+    d = C.shape[1]
+
+    partial_schema = T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType())),
+    ])
+    for _ in range(iters):
+        partials = base.select("v").mapInPandas(
+            _kmeans_assign_partials(C, "v"), partial_schema)
+        cells = (partials
+                 .select("cluster", "n", F.posexplode("sums")
+                         .alias("pos", "val"))
+                 .groupBy("cluster", "pos")
+                 .agg(F.sum("val").alias("s"),
+                      # summing n per (cluster, pos) yields the cluster's
+                      # total count at every pos — one aggregation serves
+                      # both sums and counts
+                      F.sum("n").alias("n_rep"))
+                 .collect())
+        sums = np.zeros((k, d))
+        counts = np.zeros(k)
+        for r in cells:
+            sums[r["cluster"], r["pos"]] = r["s"]
+            counts[r["cluster"]] = r["n_rep"]          # same value every pos
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.sqrt(((newC - C) ** 2).sum(axis=1)).max())
+        C = newC
+        if shift < tol:
+            break
+    return C
+
+
+def ivf_cell_trained(vec_col: Column, centroids: "np.ndarray") -> Column:
+    """Nearest-centroid cell id, entirely JVM-side: squared-L2 to each of
+    the k literal centroids via zip_with/aggregate, argmin via
+    ``array_min`` on (distance, index) structs (lexicographic struct
+    ordering = min distance, ties to the lowest index).  The centroids
+    travel as plan literals — broadcast with the plan, no join."""
+    v = vec_col.cast("array<double>")
+    cands = []
+    for i, c in enumerate(np.asarray(centroids, dtype=np.float64)):
+        cl = _as_vec_lit(list(c))
+        d2 = F.aggregate(F.zip_with(v, cl, lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, t: acc + t)
+        cands.append(F.struct(d2.alias("d"), F.lit(i).alias("i")))
+    return F.array_min(F.array(*cands)).getField("i")
+
+
+def ivf_topk_trained(df: DataFrame, query: list[float],
+                     centroids: "np.ndarray", k: int = 10, nprobe: int = 1,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """IVF probe with trained centroids: visit the ``nprobe`` cells
+    nearest to the query (standard recall/cost dial), exact cosine
+    rescoring inside them."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((C - q[None, :]) ** 2).sum(axis=1), kind="stable")
+    cells = [int(i) for i in order[:nprobe]]
+    cands = df.where(ivf_cell_trained(F.col(vec_col), C).isin(cells))
+    return cosine_topk(cands, query, k, id_col, vec_col)

@@ -1,0 +1,103 @@
+"""Trained-IVF (k-means coarse quantizer): recovery, determinism, probe recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sdk_spark.operators.similarity import (
+    cosine_topk, ivf_cell_trained, ivf_topk_trained, train_ivf_centroids)
+
+TRUE_CENTERS = np.array([
+    [10.0, 0.0, 0.0, 0.0],
+    [0.0, 10.0, 0.0, 0.0],
+    [0.0, 0.0, 10.0, 0.0],
+    [-10.0, -10.0, 0.0, 0.0],
+])
+
+
+def planted_df(spark, per_cluster=60, noise=0.5, seed=7):
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = 0
+    for c in TRUE_CENTERS:
+        for _ in range(per_cluster):
+            v = c + rng.normal(scale=noise, size=4)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def match_centers(trained):
+    """Map each true center to its nearest trained centroid distance."""
+    return [float(np.sqrt(((trained - t[None, :]) ** 2).sum(1)).min())
+            for t in TRUE_CENTERS]
+
+
+def test_kmeans_recovers_planted_centers(spark):
+    df = planted_df(spark)
+    C = train_ivf_centroids(df, k=4, iters=10)
+    assert C.shape == (4, 4)
+    assert max(match_centers(C)) < 1.0, C
+
+
+def test_kmeans_deterministic(spark):
+    df = planted_df(spark)
+    C1 = train_ivf_centroids(df, k=4, iters=5)
+    C2 = train_ivf_centroids(df.repartition(7), k=4, iters=5)
+    # init is xxhash-ordered, not partition-ordered -> identical output
+    assert np.allclose(C1, C2)
+
+
+def test_kmeans_needs_k_vectors(spark):
+    df = planted_df(spark, per_cluster=1)  # 4 rows total
+    with pytest.raises(ValueError):
+        train_ivf_centroids(df, k=16)
+
+
+def test_ivf_cell_trained_assigns_nearest(spark):
+    df = planted_df(spark, per_cluster=30)
+    C = train_ivf_centroids(df, k=4, iters=10)
+    cells = (df.select("vec_id", "embedding",
+                       ivf_cell_trained(F.col("embedding"), C).alias("cell"))
+             .collect())
+    for r in cells:
+        v = np.asarray(r["embedding"])
+        want = int(((C - v[None, :]) ** 2).sum(1).argmin())
+        assert r["cell"] == want
+
+
+def test_ivf_topk_trained_recall(spark):
+    df = planted_df(spark)
+    C = train_ivf_centroids(df, k=4, iters=10)
+    q = [9.5, 0.5, 0.0, 0.0]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk_trained(df, q, C, k=10, nprobe=1).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, (recall, exact, approx)
+
+
+def test_ivf_topk_trained_nprobe_widens(spark):
+    """A query between two clusters needs nprobe=2 to see both."""
+    df = planted_df(spark)
+    C = train_ivf_centroids(df, k=4, iters=10)
+    q = [5.0, 5.0, 0.0, 0.0]
+    one = set(r["vec_id"] for r in
+              ivf_topk_trained(df, q, C, k=20, nprobe=1).collect())
+    two = set(r["vec_id"] for r in
+              ivf_topk_trained(df, q, C, k=20, nprobe=2).collect())
+    exact = set(r["vec_id"] for r in cosine_topk(df, q, k=20).collect())
+    assert len(two & exact) >= len(one & exact)
+    assert len(two & exact) / 20 >= 0.8
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 over data with only 2 real groups: one centroid may strand;
+    # training must not NaN out
+    rows = [(i, [0.0, 0.0]) for i in range(20)] + \
+           [(100 + i, [50.0, 50.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    C = train_ivf_centroids(df, k=3, iters=6)
+    assert np.isfinite(C).all()
