@@ -364,6 +364,34 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_ok")))
 
 
+def q_embedding_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN (k-means coarse quantizer) as a CHECKABLE recall
+    verdict: k-means has no SQL twin, so — like ``embedding_ann`` — the
+    oracle pins recall@10 ≥ 0.8 vs the exact brute-force top-10 (itself
+    hash-matched against DuckDB by ``embedding_topk``).  Training is
+    deterministic (farthest-first init over a hash-ordered sample), so
+    the verdict is stable across runs and partitionings."""
+    from sdk_spark.operators.similarity import (
+        cosine_topk, ivf_topk_trained, train_ivf_centroids)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, k=8, iters=5, spherical=True)
+    # probe an ON-manifold query — the first trained centroid — because
+    # IVF recall is only defined for queries from the data distribution
+    # (an off-manifold axis vector has cosine neighbors scattered across
+    # every cell, which no coarse quantizer can serve)
+    query = [float(x) for x in C[0]]
+    k = 10
+    ann = ivf_topk_trained(emb, query, C, k=k, nprobe=2,
+                           spherical=True).select("vec_id")
+    exact = cosine_topk(emb, query, k=k).select("vec_id")
+    return (ann.join(exact, "vec_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(k).alias("k"),
+                    (F.col("hits") >= F.lit(0.8 * k)).cast("int")
+                    .alias("recall_ok")))
+
+
 def q_embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-lite ANN: sign-quadrant coarse cell probe + exact rescoring —
     deterministic quantizer, so brute-force-in-cell is an exact oracle."""
@@ -509,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "embedding_ann": q_embedding_ann,
+        "embedding_ann_kmeans": q_embedding_ann_kmeans,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "bigint_precision": q_bigint_precision,
         "pattern_dialect": q_pattern_dialect,
@@ -780,6 +809,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 40 = 0
         """,
         "embedding_ann": """
+            SELECT 10 AS k, 1 AS recall_ok
+        """,
+        "embedding_ann_kmeans": """
             SELECT 10 AS k, 1 AS recall_ok
         """,
         # brute-force O(d²) over DISTINCT fingerprints — the LSH result

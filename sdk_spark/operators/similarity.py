@@ -319,7 +319,8 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         tol: float = 1e-6,
                         sample_fraction: float | None = None,
-                        seed: int = 42) -> "np.ndarray":
+                        seed: int = 42,
+                        spherical: bool = False) -> "np.ndarray":
     """Lloyd's k-means for the IVF coarse quantizer; returns k×d centroids.
 
     100-TB shape per iteration: one Arrow pass emits k partial
@@ -335,11 +336,19 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
     a seeded sample (the standard budget move: centroids from ~1% of
     10^12 rows are statistically indistinguishable).  Empty clusters keep
     their previous centroid.
+
+    ``spherical=True`` trains on L2-normalized vectors and re-normalizes
+    centroids after every update (spherical k-means): nearest-centroid-
+    by-L2 on the unit sphere IS nearest-by-cosine, which is what a
+    cosine-similarity ANN probe needs — without it a query far from the
+    data's norm scale lands in geometrically-near but angularly-wrong
+    cells.
     """
     from pyspark.sql import types as T
 
-    base = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v")) \
+    raw = F.col(vec_col).cast("array<double>")
+    vexpr = _unit(raw) if spherical else raw
+    base = df.select(F.col(id_col).alias("id"), vexpr.alias("v")) \
              .where(F.col("v").isNotNull())
     if sample_fraction is not None and sample_fraction < 1.0:
         base = base.sample(fraction=sample_fraction, seed=seed)
@@ -384,6 +393,9 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
         newC = C.copy()
         nz = counts > 0
         newC[nz] = sums[nz] / counts[nz, None]
+        if spherical:
+            norms = np.sqrt((newC ** 2).sum(axis=1, keepdims=True))
+            newC = newC / np.maximum(norms, 1e-12)
         shift = float(np.sqrt(((newC - C) ** 2).sum(axis=1)).max())
         C = newC
         if shift < tol:
@@ -391,13 +403,25 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
     return C
 
 
-def ivf_cell_trained(vec_col: Column, centroids: "np.ndarray") -> Column:
+def _unit(v: Column) -> Column:
+    """L2-normalize an array<double> column JVM-side."""
+    n = F.greatest(F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                                      F.lit(0.0), lambda a, b: a + b)),
+                   F.lit(1e-12))
+    return F.transform(v, lambda x: x / n)
+
+
+def ivf_cell_trained(vec_col: Column, centroids: "np.ndarray",
+                     spherical: bool = False) -> Column:
     """Nearest-centroid cell id, entirely JVM-side: squared-L2 to each of
     the k literal centroids via zip_with/aggregate, argmin via
     ``array_min`` on (distance, index) structs (lexicographic struct
     ordering = min distance, ties to the lowest index).  The centroids
-    travel as plan literals — broadcast with the plan, no join."""
+    travel as plan literals — broadcast with the plan, no join.
+    ``spherical`` must match how the centroids were trained."""
     v = vec_col.cast("array<double>")
+    if spherical:
+        v = _unit(v)
     cands = []
     for i, c in enumerate(np.asarray(centroids, dtype=np.float64)):
         cl = _as_vec_lit(list(c))
@@ -409,14 +433,19 @@ def ivf_cell_trained(vec_col: Column, centroids: "np.ndarray") -> Column:
 
 def ivf_topk_trained(df: DataFrame, query: list[float],
                      centroids: "np.ndarray", k: int = 10, nprobe: int = 1,
-                     id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     spherical: bool = False) -> DataFrame:
     """IVF probe with trained centroids: visit the ``nprobe`` cells
     nearest to the query (standard recall/cost dial), exact cosine
-    rescoring inside them."""
+    rescoring inside them.  ``spherical`` must match training; it also
+    normalizes the query before ranking cells, so cell choice agrees
+    with the cosine rescoring metric."""
     C = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
+    if spherical:
+        q = q / max(float(np.sqrt((q ** 2).sum())), 1e-12)
     order = np.argsort(((C - q[None, :]) ** 2).sum(axis=1), kind="stable")
     cells = [int(i) for i in order[:nprobe]]
-    cands = df.where(ivf_cell_trained(F.col(vec_col), C).isin(cells))
+    cands = df.where(
+        ivf_cell_trained(F.col(vec_col), C, spherical=spherical).isin(cells))
     return cosine_topk(cands, query, k, id_col, vec_col)

@@ -101,3 +101,21 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     C = train_ivf_centroids(df, k=3, iters=6)
     assert np.isfinite(C).all()
+
+
+def test_spherical_recall_on_real_embeddings(spark):
+    """Spherical training + centroid probe on the 64-dim parquet table."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = train_ivf_centroids(emb, k=4, iters=5, spherical=True)
+    q = [float(x) for x in C[0]]
+    exact = set(r["vec_id"] for r in cosine_topk(emb, q, k=10).collect())
+    ann = set(r["vec_id"] for r in
+              ivf_topk_trained(emb, q, C, k=10, nprobe=2,
+                               spherical=True).collect())
+    assert len(exact & ann) / 10 >= 0.8
+
+
+def test_spherical_centroids_unit_norm(spark):
+    df = planted_df(spark)
+    C = train_ivf_centroids(df, k=4, iters=5, spherical=True)
+    assert np.allclose(np.sqrt((C ** 2).sum(axis=1)), 1.0)
