@@ -515,6 +515,37 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="id_a", dst="id_b")
 
 
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (next-fit in doc order, fixed token budget) as a
+    per-bin audit.  Run single-partition so the walk is globally
+    sequential — the oracle replays the identical walk as a DuckDB
+    recursive CTE.  The token weight is n_chars (shared metric, no
+    tokenizer-twin risk); at scale the operator runs partition-local
+    (see operators/packing.py)."""
+    from sdk_spark.operators.packing import pack_sequences, pack_stats
+
+    docs = _t(spark, sf_dir, "documents") \
+        .select("doc_id", F.col("n_chars").cast("long").alias("n_tokens"))
+    packed = pack_sequences(docs, id_col="doc_id", tokens_col="n_tokens",
+                            max_tokens=1000, num_partitions=1)
+    return pack_stats(packed, 1000) \
+        .select("bin_id", "n_docs", "total_tokens", "utilization")
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by multiplicative hash —
+    int64 arithmetic only, so DuckDB reproduces every row's assignment
+    exactly (auditable outside Spark, stable under repartitioning)."""
+    from sdk_spark.operators.packing import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (hash_split(docs, "doc_id",
+                       {"train": 80, "valid": 10, "test": 10})
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -545,6 +576,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_jaccard": q_pair_jaccard,
         "phash_near_dups": q_phash_near_dups,
         "dedup_clusters": q_dedup_clusters,
+        "pack_stats": q_pack_stats,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -853,6 +886,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v
             )
             SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+        """,
+        # replay of the sequential next-fit walk (state = bin open for the
+        # next normal doc + its fill; oversize docs take a dedicated bin
+        # and leave a fresh bin behind)
+        "pack_stats": """
+            WITH RECURSIVE docs AS (
+              SELECT row_number() OVER (ORDER BY doc_id) AS rn,
+                     CAST(coalesce(n_chars, 0) AS BIGINT) AS tok
+              FROM documents
+            ),
+            st(rn, b, f, doc_bin, doc_tok) AS (
+              SELECT 0, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+                     CAST(NULL AS BIGINT)
+              UNION ALL
+              SELECT d.rn,
+                     CASE WHEN d.tok > 1000 THEN s.b + 2
+                          WHEN s.f + d.tok > 1000 THEN s.b + 1
+                          ELSE s.b END,
+                     CASE WHEN d.tok > 1000 THEN CAST(0 AS BIGINT)
+                          WHEN s.f + d.tok > 1000 THEN d.tok
+                          ELSE s.f + d.tok END,
+                     CASE WHEN d.tok > 1000 THEN s.b + 1
+                          WHEN s.f + d.tok > 1000 THEN s.b + 1
+                          ELSE s.b END,
+                     d.tok
+              FROM st s JOIN docs d ON d.rn = s.rn + 1
+            )
+            SELECT doc_bin AS bin_id, COUNT(*) AS n_docs,
+                   SUM(doc_tok) AS total_tokens,
+                   round(SUM(doc_tok) / 1000.0, 4) AS utilization
+            FROM st WHERE rn >= 1
+            GROUP BY doc_bin
+        """,
+        "dataset_split": """
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'valid'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n, SUM(doc_id) AS id_sum
+            FROM (SELECT doc_id,
+                         ((doc_id % 1000003) * 2654435761) % 100 AS b
+                  FROM documents)
+            GROUP BY 1
         """,
     }
 

@@ -52,7 +52,9 @@ HEADLINE = [
     "lang_id",
     "embedding_topk",
     "embedding_ann_ivf",
+    "embedding_ann_kmeans",
     "phash_near_dups",
+    "dedup_clusters",
     "image_validate",
 ]
 

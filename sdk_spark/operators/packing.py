@@ -1,0 +1,140 @@
+"""Training-batch assembly operators: sequence packing + dataset splits.
+
+An LLM training pipeline ends by (a) splitting the corpus into
+train/validation/test and (b) packing documents into fixed-token-budget
+sequences.  Both must be deterministic — a re-run (or a different cluster
+size) has to produce the same splits and the same packing, or resumed jobs
+and eval sets silently drift.
+
+* ``hash_split`` — multiplicative-hash bucketing into weighted splits.
+  The hash is plain int64 arithmetic (Knuth 2654435761 on a reduced key),
+  chosen over ``xxhash64`` deliberately: it is expressible identically in
+  any SQL engine, so the split is auditable outside Spark.
+* ``pack_sequences`` — next-fit packing in key order: walk documents in
+  ascending id, open a new bin whenever the next document would overflow
+  ``max_tokens``.  Packing is inherently sequential, so the scalable form
+  is partition-local: each hash partition packs independently (one Arrow
+  kernel pass, no shuffle beyond the partitioning) and bins are namespaced
+  by partition id.  Cross-partition "waste" is at most one underfull bin
+  per partition — negligible at 10^12 docs over a few thousand partitions.
+  Oversized single documents get a bin of their own (flagged), matching
+  the reference behavior of every packing implementation: truncation is a
+  tokenizer decision, not a packer decision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Knuth multiplicative constant (golden-ratio scaling for 2^32)
+_KNUTH = 2654435761
+#: keys are reduced mod this before multiplying so the product stays far
+#: inside int64 under Spark's ANSI overflow checking
+_KEY_MOD = 1_000_003
+
+
+def split_bucket(key_col: F.Column) -> F.Column:
+    """Deterministic bucket in [0, 100) from an integer key column."""
+    return ((key_col % _KEY_MOD) * F.lit(_KNUTH)) % 100
+
+
+def hash_split(df: DataFrame, key_col: str,
+               weights: dict[str, int]) -> DataFrame:
+    """Add a ``split`` column ('train'/'valid'/...) by deterministic hash.
+
+    ``weights`` are integer percentages summing to 100; rows land in a
+    split by which cumulative band their hash bucket falls in.  Stable
+    under repartitioning, cluster size, and re-runs by construction.
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    b = split_bucket(F.col(key_col))
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += w
+        cond = b < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    return df.withColumn("split", expr)
+
+
+PACK_SCHEMA_SUFFIX = [
+    T.StructField("bin_id", T.LongType()),
+    T.StructField("bin_fill", T.LongType()),
+    T.StructField("oversize", T.BooleanType()),
+]
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens", max_tokens: int = 2048,
+                   num_partitions: int | None = None) -> DataFrame:
+    """Assign every document a packing ``bin_id`` (next-fit in id order).
+
+    Returns (id, tokens, bin_id, bin_fill, oversize): ``bin_fill`` is the
+    bin's running total after this document, ``oversize`` marks documents
+    larger than ``max_tokens`` that got a dedicated bin.  Bins are
+    ``partition_id * 2^40 + local_bin`` so ids are unique without any
+    cross-partition coordination.  With ``num_partitions=1`` the packing
+    is globally sequential (the oracle-checkable configuration); the
+    default keeps the input partitioning for scale.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    slim = df.select(F.col(id_col).alias("id"),
+                     F.col(tokens_col).cast("long").alias("tok"))
+    if num_partitions is not None:
+        slim = slim.repartition(num_partitions) if num_partitions > 1 \
+            else slim.coalesce(1)
+    # id order within each partition lets the kernel stream Arrow batches
+    # with carried (bin, fill) state — no partition-wide buffering
+    slim = slim.sortWithinPartitions("id")
+
+    out_schema = T.StructType([
+        T.StructField("id", slim.schema["id"].dataType),
+        T.StructField("tok", T.LongType()),
+        *PACK_SCHEMA_SUFFIX,
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid << 40
+        bin_no, fill = 0, 0
+        for pdf in batches:
+            rows = []
+            for _id, tok in zip(pdf["id"], pdf["tok"]):
+                tok = int(tok) if tok is not None and not pd.isna(tok) else 0
+                if tok > max_tokens:
+                    # dedicated bin for the oversize doc, then a fresh bin
+                    bin_no += 1
+                    rows.append((_id, tok, base + bin_no, tok, True))
+                    bin_no += 1
+                    fill = 0
+                    continue
+                if fill + tok > max_tokens:
+                    bin_no += 1
+                    fill = 0
+                fill += tok
+                rows.append((_id, tok, base + bin_no, fill, False))
+            yield pd.DataFrame(rows, columns=["id", "tok", "bin_id",
+                                              "bin_fill", "oversize"])
+
+    return slim.mapInPandas(kernel, out_schema)
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """(bin_id, n_docs, total_tokens, utilization) — packing audit."""
+    return (packed.groupBy("bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok").alias("total_tokens"))
+            .withColumn("utilization",
+                        F.round(F.col("total_tokens") /
+                                F.lit(float(max_tokens)), 4)))

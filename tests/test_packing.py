@@ -1,0 +1,116 @@
+"""Sequence packing + deterministic hash splits vs pure-Python references."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdk_spark.operators.packing import (
+    hash_split, pack_sequences, pack_stats, split_bucket, _KNUTH, _KEY_MOD)
+
+
+def reference_next_fit(docs, max_tokens):
+    """(id -> (bin, fill, oversize)) for the sequential next-fit walk."""
+    out = {}
+    bin_no, fill = 0, 0
+    for _id, tok in sorted(docs):
+        if tok > max_tokens:
+            bin_no += 1
+            out[_id] = (bin_no, tok, True)
+            bin_no += 1
+            fill = 0
+            continue
+        if fill + tok > max_tokens:
+            bin_no += 1
+            fill = 0
+        fill += tok
+        out[_id] = (bin_no, fill, False)
+    return out
+
+
+def test_pack_matches_reference_single_partition(spark):
+    docs = [(i, 100 + (i * 37) % 900) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    got = {r["id"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+           for r in pack_sequences(df, max_tokens=2048,
+                                   num_partitions=1).collect()}
+    assert got == reference_next_fit(docs, 2048)
+
+
+def test_pack_oversize_gets_own_bin(spark):
+    docs = [(1, 100), (2, 5000), (3, 100)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    rows = {r["id"]: r for r in
+            pack_sequences(df, max_tokens=2048, num_partitions=1).collect()}
+    assert rows[2]["oversize"] and rows[2]["bin_fill"] == 5000
+    assert rows[1]["bin_id"] != rows[2]["bin_id"] != rows[3]["bin_id"]
+    assert got_invariants(rows.values(), 2048)
+
+
+def got_invariants(rows, max_tokens):
+    from collections import defaultdict
+    per_bin = defaultdict(int)
+    for r in rows:
+        per_bin[r["bin_id"]] += r["tok"]
+        if not r["oversize"]:
+            assert r["bin_fill"] <= max_tokens
+    for b, tot in per_bin.items():
+        oversized = any(r["oversize"] for r in rows if r["bin_id"] == b)
+        assert oversized or tot <= max_tokens
+    return True
+
+
+def test_pack_parallel_invariants(spark):
+    """Multi-partition packing: bins never overflow, every doc assigned
+    exactly once, bin ids unique across partitions."""
+    docs = [(i, 1 + (i * 131) % 3000) for i in range(2000)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, max_tokens=2048, num_partitions=8).collect()
+    assert len(packed) == 2000
+    assert len({r["id"] for r in packed}) == 2000
+    assert got_invariants(packed, 2048)
+
+
+def test_pack_stats_utilization(spark):
+    docs = [(i, 1024) for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    packed = pack_sequences(df, max_tokens=2048, num_partitions=1)
+    stats = pack_stats(packed, 2048).collect()
+    assert all(r["n_docs"] == 2 and r["utilization"] == 1.0 for r in stats)
+    assert len(stats) == 5
+
+
+def test_pack_rejects_bad_budget(spark):
+    df = spark.createDataFrame([(1, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    w = {"train": 80, "valid": 10, "test": 10}
+    counts = {r["split"]: r["count"] for r in
+              hash_split(df, "doc_id", w).groupBy("split").count().collect()}
+    assert set(counts) == set(w)
+    for name, pct in w.items():
+        assert abs(counts[name] / 20000 - pct / 100) < 0.02, counts
+    # repartitioning must not move any row between splits
+    a = {(r["doc_id"], r["split"]) for r in
+         hash_split(df, "doc_id", w).collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         hash_split(df.repartition(13), "doc_id", w).collect()}
+    assert a == b
+
+
+def test_hash_split_weights_must_sum(spark):
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 90, "valid": 5})
+
+
+def test_split_bucket_matches_python(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    got = {r["doc_id"]: r["b"] for r in
+           df.select("doc_id", split_bucket(F.col("doc_id")).alias("b")).collect()}
+    for i in range(500):
+        assert got[i] == ((i % _KEY_MOD) * _KNUTH) % 100
