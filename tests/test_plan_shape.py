@@ -178,3 +178,80 @@ def test_phash_hamming_lsh_single_pass_shape(spark):
     assert "BroadcastNestedLoop" not in text, text
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
     assert len(re.findall(r"Exchange hashpartitioning", text)) <= 3, text
+
+
+def test_cc_star_round_is_two_exchanges(spark):
+    """One large-star + small-star round: each star op is a groupBy(min) +
+    join on the SAME key — at most 2 distinct shuffle origins per star
+    (agg + join reuse the key partitioning), and zero Python nodes."""
+    from sdk_spark.operators.cluster import _large_star, _small_star
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    text = _plan(_small_star(_large_star(e)))
+    assert "Python" not in text, text
+    # the round must stay in JVM aggregates/joins; no cartesian, no BNLJ
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_pack_sequences_single_python_stage(spark):
+    """Packing = partition sort + ONE Arrow kernel; no shuffle when the
+    input partitioning is kept (num_partitions=None)."""
+    from sdk_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame([(i, 10) for i in range(100)],
+                               "doc_id long, n_tokens long")
+    text = _plan(pack_sequences(df))
+    assert text.count("MapInPandas") == 1, text
+    assert "Exchange" not in text, text          # no shuffle introduced
+    assert "Sort [id" in text or "Sort [" in text
+
+
+def test_hash_split_is_pure_projection(spark):
+    """The split column is one codegen projection — no Python, no shuffle."""
+    from sdk_spark.operators.packing import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    out = hash_split(df, "doc_id", {"train": 80, "valid": 10, "test": 10})
+    text = _plan(out)
+    assert "Python" not in text and "Exchange" not in text, text
+    assert "*(1)" in text, text      # whole-stage-codegen span marker
+
+
+def test_kmeans_partials_shape(spark):
+    """One Lloyd's assignment pass: Arrow kernel -> posexplode -> ONE
+    hash-aggregate pair (partial + final over one exchange)."""
+    from pyspark.sql import types as T
+    from sdk_spark.operators.similarity import _kmeans_assign_partials
+    import numpy as np
+
+    df = spark.createDataFrame([([1.0, 0.0],), ([0.0, 1.0],)],
+                               "v array<double>")
+    schema = T.StructType([
+        T.StructField("cluster", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sums", T.ArrayType(T.DoubleType()))])
+    partials = df.mapInPandas(
+        _kmeans_assign_partials(np.eye(2), "v"), schema)
+    agg = (partials
+           .select("cluster", "n", F.posexplode("sums").alias("pos", "val"))
+           .groupBy("cluster", "pos")
+           .agg(F.sum("val"), F.sum("n")))
+    text = _plan(agg)
+    assert text.count("MapInPandas") == 1
+    assert text.count("Exchange") == 1, text     # one shuffle for the agg
+
+
+def test_trained_ivf_probe_prunes_to_isin(spark):
+    """The trained-cell probe is a plain Filter over a literal isin — no
+    join against a centroid table, no Python."""
+    import numpy as np
+    from sdk_spark.operators.similarity import ivf_topk_trained
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = np.eye(4, 64)
+    out = ivf_topk_trained(emb, [1.0] + [0.0] * 63, C, k=5, nprobe=2)
+    text = _plan(out)
+    assert "Python" not in text, text
+    assert "TakeOrderedAndProject" in text
+    assert "Join" not in text
