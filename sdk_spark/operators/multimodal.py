@@ -79,6 +79,11 @@ def decode_image(payload: bytes, fmt: str | None = None,
         from ..functions.tiff import decode_tiff
 
         return decode_tiff(payload)        # EXIF-in-TIFF: dims are exact
+    else:
+        from ..functions.ico import decode_ico, looks_like_ico
+
+        if looks_like_ico(payload):
+            return decode_ico(payload)     # ICO carries no EXIF
     if arr is None:
         raise ValueError("unrecognized image payload")
     if auto_orient:
