@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from sdk_spark.functions.bmp import encode_bmp
+from sdk_spark.functions.ico import encode_ico
 from sdk_spark.functions.gif import encode_gif, encode_gif_animation
 from sdk_spark.functions.tiff import encode_tiff
 from sdk_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
@@ -45,6 +46,7 @@ PAYLOADS = {
     "tiff_lzw": encode_tiff(_IMG, compression=5, predictor=2,
                             rows_per_strip=8),
     "tiff_packbits": encode_tiff(_IMG, compression=32773, rows_per_strip=8),
+    "ico_png": encode_ico(_IMG),
 }
 
 
@@ -81,6 +83,31 @@ def test_corrupt_images_fail_closed(fmt):
                 assert isinstance(out, np.ndarray)   # tolerated corruption
             except (ValueError, NotImplementedError):
                 pass                                  # the contract
+
+
+def test_corrupt_ico_dib_fails_closed():
+    from tests.test_ico import dib_ico
+
+    for case in _mutations(dib_ico(_IMG[:16, :16])):
+        with _Timeout():
+            try:
+                out = decode_image(case)
+                assert isinstance(out, np.ndarray)
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_corrupt_adpcm_fails_closed():
+    from sdk_spark.functions.wav import encode_wav_ima
+
+    pcm = (RNG.standard_normal(3000) * 8000).astype(np.int16)
+    for case in _mutations(bytes(encode_wav_ima(pcm, sample_rate=8000))):
+        with _Timeout():
+            try:
+                samples, rate = decode_wav(case)
+                assert isinstance(samples, np.ndarray) and rate > 0
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def test_corrupt_wav_fails_closed():
