@@ -40,7 +40,11 @@ _KEY_MOD = 1_000_003
 
 
 def split_bucket(key_col: F.Column) -> F.Column:
-    """Deterministic bucket in [0, 100) from an integer key column."""
+    """Deterministic bucket in [0, 100) from a NON-NEGATIVE integer key.
+
+    Spark's ``%`` keeps the dividend's sign (as does ANSI SQL), so a
+    negative key would bucket negative and fall outside every split band;
+    keys are ids here, which are non-negative by construction."""
     return ((key_col % _KEY_MOD) * F.lit(_KNUTH)) % 100
 
 
