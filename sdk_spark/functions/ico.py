@@ -79,8 +79,9 @@ def _decode_dib_entry(body: bytes, return_alpha: bool) -> np.ndarray:
     clr_used = int.from_bytes(body[32:36], "little")
     h = h2 // 2 if h2 > 0 else -(-h2 // 2)
     patched = bytearray(body)
-    patched[8:12] = int(h if h2 > 0 else -h).to_bytes(4, "little",
-                                                      signed=True)
+    # h already carries h2's sign (negative = top-down); writing -h here
+    # would silently drop the top-down flag and flip the image
+    patched[8:12] = int(h).to_bytes(4, "little", signed=True)
     palette = (clr_used or (1 << bpp if bpp <= 8 else 0)) * 4
     masks = 12 if (comp == 3 and hdr_size == 40) else 0
     pix_off = 14 + hdr_size + palette + masks
@@ -138,6 +139,9 @@ def encode_ico(images: "np.ndarray | list[np.ndarray]") -> bytes:
         images = [images]
     if not images:
         raise ValueError("encode_ico needs at least one image")
+    if len(images) > 64:
+        raise ValueError("ICO directories are capped at 64 entries "
+                         "(the structural-sniff bound decode applies)")
     blobs = []
     for arr in images:
         h, w = arr.shape[:2]

@@ -47,6 +47,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     ch = None
     bits = None
     data = None
+    n_samples = None
     while pos + 8 <= len(payload):
         tag = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
@@ -61,6 +62,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             rate = int.from_bytes(body[4:8], "little")
             block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+        elif tag == b"fact":
+            n_samples = int.from_bytes(body[0:4], "little")
         elif tag == b"data":
             data = body
         pos += 8 + size + (size & 1)
@@ -70,6 +73,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("invalid channel count")
     if codec == 0x11:
         arr = _decode_ima_adpcm(data, ch, block_align)
+        if n_samples is not None:          # fact chunk: true length (the
+            arr = arr[:n_samples]          # final block may be padded)
         return arr.astype(np.float64) / 32767.0, rate
     if codec == 3:
         if bits == 32:
@@ -80,8 +85,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"{bits}-bit IEEE float WAVE")
         return arr.reshape(-1, ch), rate
     if bits == 8:
+        # divide by 128 so byte 0 maps to exactly -1.0 (÷127 would leave
+        # the documented [-1, 1] output range)
         arr = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
-               - 128.0) / 127.0
+               - 128.0) / 128.0
     elif bits == 16:
         arr = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
     elif bits == 24:
@@ -148,8 +155,6 @@ def _decode_ima_adpcm(data: bytes, ch: int, block_align: int) -> np.ndarray:
                     for nib in (byte & 0xF, byte >> 4):
                         preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
                         chans[c].append(preds[c])
-        for c in range(ch):                          # trim block padding
-            chans[c] = chans[c][:len(chans[c]) - (len(chans[c]) % spb or 0)]                 if False else chans[c]
     n = min(len(x) for x in chans)
     return np.stack([np.asarray(x[:n], dtype=np.int16) for x in chans], axis=1)
 
@@ -209,6 +214,7 @@ def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
                 for k in range(0, 8, 2):
                     out.append(grp[k] | (grp[k + 1] << 4))
     byte_rate = sample_rate * block_align // samples_per_block
+    fact = b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
     fmt = (b"fmt " + (20).to_bytes(4, "little")
            + (0x11).to_bytes(2, "little")
            + ch.to_bytes(2, "little")
@@ -218,7 +224,8 @@ def encode_wav_ima(samples: np.ndarray, sample_rate: int = 16000,
            + (4).to_bytes(2, "little")
            + (2).to_bytes(2, "little")
            + samples_per_block.to_bytes(2, "little"))
-    body = b"WAVE" + fmt + b"data" + len(out).to_bytes(4, "little") + bytes(out)
+    body = b"WAVE" + fmt + fact + b"data" \
+        + len(out).to_bytes(4, "little") + bytes(out)
     if len(out) % 2:
         body += b"\x00"
     return b"RIFF" + len(body).to_bytes(4, "little") + body

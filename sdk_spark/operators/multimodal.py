@@ -169,7 +169,8 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
                              sample_fraction: float = 1.0,
                              check_phash: bool = False,
                              phash_tolerance: int = 6,
-                             phash_col: str = "phash") -> DataFrame:
+                             phash_col: str = "phash",
+                             check_pixels: bool = True) -> DataFrame:
     """Violation rows for the per-row invariants vs the reference content:
     decoded-pixel PSNR >= threshold and caption byte-equality.
 
@@ -187,10 +188,20 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
     absorb mean-threshold flips in lossy formats (q95 JPEG / VP8 keep
     PSNR >= ~42 dB, which can still move cell means that straddle the
     global mean).
+
+    ``check_pixels=False`` (used by the phash-only job mode) skips the
+    reference-pixel synthesis, PSNR, and caption comparison entirely —
+    decode failures are still reported (an undecodable payload can never
+    vouch for its stored hash).
     """
     if sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=42)
-    want = ["image_id", "bytes", "caption"] + ([phash_col] if check_phash else [])
+    want = [F.col("image_id"), F.col("bytes"), F.col("caption")]
+    if check_phash:
+        # ship the hash as a STRING: a NULL anywhere in an Arrow batch
+        # coerces a pandas int64 column to float64, which silently drops
+        # the low ~11 bits of full-range hashes (verified false-positive)
+        want.append(F.col(phash_col).cast("string").alias("__phash_str"))
     cols = df.select(*want)
 
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,7 +211,7 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
 
         for pdf in batches:
             rows = []
-            stored_hashes = pdf[phash_col] if check_phash else None
+            stored_hashes = pdf["__phash_str"] if check_phash else None
             for idx, (image_id, payload, caption) in enumerate(zip(
                     pdf["image_id"], pdf["bytes"], pdf["caption"])):
                 if image_id is None or payload is None:
@@ -211,15 +222,17 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
                     rows.append((image_id, E.ENGINE_PIXEL_MISMATCH, "#/bytes",
                                  f"decode-failed: {ex}"))
                     continue
-                h, w = decoded.shape[:2]
-                expected = reference_pixels(image_id, w, h)
-                score = psnr(decoded, expected)
-                if score < psnr_threshold:
-                    rows.append((image_id, E.ENGINE_PIXEL_MISMATCH, "#/bytes",
-                                 f"psnr={score:.2f}dB"))
-                if caption is not None and caption != reference_caption(image_id):
-                    rows.append((image_id, E.ENGINE_CAPTION_MISMATCH, "#/caption",
-                                 str(caption)[:128]))
+                if check_pixels:
+                    h, w = decoded.shape[:2]
+                    expected = reference_pixels(image_id, w, h)
+                    score = psnr(decoded, expected)
+                    if score < psnr_threshold:
+                        rows.append((image_id, E.ENGINE_PIXEL_MISMATCH,
+                                     "#/bytes", f"psnr={score:.2f}dB"))
+                    if caption is not None and \
+                            caption != reference_caption(image_id):
+                        rows.append((image_id, E.ENGINE_CAPTION_MISMATCH,
+                                     "#/caption", str(caption)[:128]))
                 if check_phash and stored_hashes.iloc[idx] is not None \
                         and not pd.isna(stored_hashes.iloc[idx]):
                     stored = int(stored_hashes.iloc[idx])

@@ -87,13 +87,14 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
     all_viol = row_viol.unionByName(uniq_viol)
     if check_pixels or check_phash:
         # phash consistency rides the same decode pass as the PSNR
-        # invariant — one scan of the heavy ``bytes`` column either way
+        # invariant — one scan of the heavy ``bytes`` column either way.
+        # In phash-only mode the kernel skips PSNR/caption work but still
+        # reports decode failures: an undecodable payload cannot vouch
+        # for its stored hash.
         inv = pixel_caption_invariants(
             df, psnr_threshold, pixel_sample_fraction,
-            check_phash=check_phash, phash_tolerance=phash_tolerance)
-        if check_phash and not check_pixels:
-            inv = inv.where(F.col("constraint_id").isin(
-                E.ENGINE_PHASH_MISMATCH))
+            check_phash=check_phash, phash_tolerance=phash_tolerance,
+            check_pixels=check_pixels)
         all_viol = all_viol.unionByName(
             inv.select("image_id", "constraint_id", "path", "value"))
     if check_exif:

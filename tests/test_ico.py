@@ -96,3 +96,30 @@ def test_256_wide_entry_roundtrip():
     payload = encode_ico(a)
     assert ico_entries(payload)[0]["w"] == 256
     assert np.array_equal(decode_ico(payload), a)
+
+
+def test_dib_entry_top_down():
+    """Negative-height (top-down) DIB entries must not be flipped."""
+    a = art(6, 4)
+    h, w = a.shape[:2]
+    bmp = encode_bmp(a)
+    dib = bytearray(bmp[14:])
+    # rewrite the pixel rows in top-down order and negate the height
+    row_bytes = (w * 3 + 3) // 4 * 4
+    pix_off = 40   # BITMAPINFOHEADER, 24bpp, no palette
+    rows = [bytes(dib[pix_off + r * row_bytes:pix_off + (r + 1) * row_bytes])
+            for r in range(h)]
+    flat = b"".join(reversed(rows))          # bottom-up -> top-down
+    dib[pix_off:pix_off + h * row_bytes] = flat
+    dib[8:12] = (-2 * h) % (1 << 32) and (-2 * h).to_bytes(
+        4, "little", signed=True)
+    entry = bytes([w % 256, h % 256, 0, 0]) \
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") \
+        + len(dib).to_bytes(4, "little") + (6 + 16).to_bytes(4, "little")
+    payload = b"\x00\x00\x01\x00\x01\x00" + entry + bytes(dib)
+    assert np.array_equal(decode_ico(payload), a)
+
+
+def test_encode_ico_caps_entries():
+    with pytest.raises(ValueError):
+        encode_ico([art(2, 2)] * 65)

@@ -91,3 +91,35 @@ def test_average_hash_channel_shapes():
     assert average_hash(rgb) == average_hash(rgba)
     gray = rgb[..., :3].mean(axis=2)
     assert average_hash(gray) == average_hash(np.dstack([gray] * 3))
+
+
+def test_phash_check_survives_null_in_batch(spark):
+    """A NULL phash in the batch must not degrade other rows' hashes to
+    float64 (full-range int64 loses low bits -> false positives)."""
+    df = generate_images(spark, 40, partitions=1, plant=False)
+    # full-range hash values: replant phash with huge magnitudes, one NULL
+    df2 = df.withColumn(
+        "phash",
+        F.when(F.xxhash64("image_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("phash")))
+    inv = pixel_caption_invariants(df2, check_phash=True)
+    # NULL rows are skipped; all non-null stored hashes are genuinely
+    # consistent, so NO violations may appear (float64 coercion would
+    # corrupt ~2^63-magnitude hashes by up to 2^11)
+    bad = inv.where(F.col("constraint_id") == E.ENGINE_PHASH_MISMATCH)
+    assert bad.count() == 0
+
+
+def test_phash_only_mode_reports_decode_failures(spark):
+    """check_phash without check_pixels must still flag undecodable rows."""
+    df = generate_images(spark, 30, partitions=1, plant=False)
+    broken = df.withColumn(
+        "bytes",
+        F.when(F.xxhash64("image_id") % 10 == 0,
+               F.lit(bytearray(b"not-an-image"))).otherwise(F.col("bytes")))
+    res = validate_images(broken, check_phash=True)
+    codes = {r["constraint_id"]: r["violations"]
+             for r in res.violations.groupBy("constraint_id").count()
+             .withColumnRenamed("count", "violations").collect()}
+    res.unpersist()
+    assert E.ENGINE_PIXEL_MISMATCH in codes        # decode-failed rows

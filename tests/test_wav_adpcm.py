@@ -25,8 +25,8 @@ def _pcm_wav(samples, bits, rate=16000, codec=1):
     if codec == 3:
         data = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
     elif bits == 8:
-        data = (np.clip(samples, -1, 1) * 127 + 128).round() \
-            .astype(np.uint8).tobytes()
+        data = np.clip((np.clip(samples, -1, 1) * 128 + 128).round(),
+                       0, 255).astype(np.uint8).tobytes()
     elif bits == 24:
         v = (np.clip(samples, -1, 1) * ((1 << 23) - 1)).round().astype(np.int32)
         b = np.zeros((v.size, 3), np.uint8)
@@ -68,7 +68,9 @@ def test_ima_adpcm_roundtrip(ch):
     arr, rate = decode_wav(payload)
     assert rate == 8000
     assert arr.shape[1] == (ch if ch > 1 else 1)
-    got = arr[:3000]
+    # the fact chunk records the true length: no encoder block padding leaks
+    assert arr.shape[0] == 3000
+    got = arr
     want = x if ch == 2 else x[:, None]
     # ADPCM is lossy: require tight tracking on a smooth tone
     err = np.abs(got - want).max()
@@ -95,3 +97,10 @@ def test_unknown_codec_raises():
                       (85).to_bytes(2, "little") + (1).to_bytes(2, "little"), 1)
     with pytest.raises((NotImplementedError, ValueError)):
         decode_wav(bad)
+
+
+def test_8bit_byte_zero_is_exactly_minus_one():
+    raw = _pcm_wav(np.array([-1.0, 0.0, 1.0]), 8)
+    arr, _ = decode_wav(raw)
+    assert arr.min() >= -1.0 and arr.max() <= 1.0
+    assert arr[0, 0] == -1.0
