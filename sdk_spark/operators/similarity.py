@@ -346,16 +346,23 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
     """
     from pyspark.sql import types as T
 
+    from pyspark import StorageLevel
+
     raw = F.col(vec_col).cast("array<double>")
     vexpr = _unit(raw) if spherical else raw
     base = df.select(F.col(id_col).alias("id"), vexpr.alias("v")) \
              .where(F.col("v").isNotNull())
     if sample_fraction is not None and sample_fraction < 1.0:
         base = base.sample(fraction=sample_fraction, seed=seed)
+    # every Lloyd's iteration re-reads the projection; persist it once
+    # (serialized, spillable) instead of re-scanning parquet and
+    # re-normalizing per iteration
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     init_rows = (base.orderBy(F.xxhash64("id"), F.col("id"))
                  .limit(256 * k).select("v").collect())
     if len(init_rows) < k:
+        base.unpersist()
         raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
     S = np.asarray([r["v"] for r in init_rows], dtype=np.float64)
     chosen = [0]                                   # lowest-hash vector
@@ -400,6 +407,7 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
         C = newC
         if shift < tol:
             break
+    base.unpersist()
     return C
 
 
