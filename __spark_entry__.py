@@ -546,6 +546,17 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("doc_id").alias("id_sum")))
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min) over the events stream, batch
+    form: lag + running-sum windows sharing ONE partition/order spec (one
+    exchange, one sort).  Exact-microsecond comparisons so the DuckDB
+    window twin reproduces every boundary decision."""
+    from sdk_spark.operators.sessions import session_stats
+
+    events = _t(spark, sf_dir, "events")
+    return session_stats(events, gap_minutes=30.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -578,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_stats": q_pack_stats,
         "dataset_split": q_dataset_split,
+        "event_sessions": q_event_sessions,
     }
 
 
@@ -918,6 +930,29 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(doc_tok) / 1000.0, 4) AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
+        """,
+        "event_sessions": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(is_new) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) - 1
+                     AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(epoch_us(ts)) AS started_us,
+                   MAX(epoch_us(ts)) AS ended_us,
+                   MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_id
         """,
         "dataset_split": """
             SELECT CASE WHEN b < 80 THEN 'train'
