@@ -557,6 +557,26 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(events, gap_minutes=30.0)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (5 docs per language) — the
+    selection hash is plain int64 arithmetic, so DuckDB reproduces the
+    exact row set, not just the counts."""
+    from sdk_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("lang").isNotNull())
+    return stratified_sample(docs, "lang", 5, id_col="doc_id") \
+        .select("doc_id", "lang")
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (two-phase agg + TakeOrderedAndProject);
+    deterministic tiebreak so the oracle hash-matches."""
+    from sdk_spark.operators.text import vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_topk(docs, "text", k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -590,6 +610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_stats": q_pack_stats,
         "dataset_split": q_dataset_split,
         "event_sessions": q_event_sessions,
+        "stratified_sample": q_stratified_sample,
+        "vocab_topk": q_vocab_topk,
     }
 
 
@@ -930,6 +952,28 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(doc_tok) / 1000.0, 4) AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ((doc_id % 1000003) * 2654435761)
+                                % 1000000007, doc_id) AS rk
+              FROM documents WHERE lang IS NOT NULL
+            ) WHERE rk <= 5
+        """,
+        "vocab_topk": """
+            WITH toks AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS token
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT token, COUNT(*) AS freq
+            FROM toks WHERE length(token) > 0
+            GROUP BY token
+            ORDER BY freq DESC, token
+            LIMIT 50
         """,
         "event_sessions": """
             WITH e AS (

@@ -55,6 +55,10 @@ HEADLINE = [
     "embedding_ann_kmeans",
     "phash_near_dups",
     "dedup_clusters",
+    "event_sessions",
+    "pack_stats",
+    "dataset_split",
+    "vocab_topk",
     "image_validate",
 ]
 

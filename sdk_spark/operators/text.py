@@ -132,3 +132,22 @@ def document_fingerprints(df: DataFrame, id_col: str = "doc_id",
         fingerprint_exact(F.col(text_col)).alias("fp_exact"),
         rolling_fingerprint(text_col).alias("fp_rolling"),
     )
+
+
+def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
+               lowercase: bool = True) -> DataFrame:
+    """Corpus vocabulary: the k most frequent whitespace tokens.
+
+    explode → groupBy(token) → TakeOrderedAndProject (count desc, token
+    asc tiebreak — fully deterministic, exact SQL twin).  The groupBy is
+    the usual two-phase partial/final aggregation, so a hot token ("the")
+    costs one partial row per task, not a skewed reducer.
+    """
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.explode(tokens(c)).alias("token"))
+            .where(F.length("token") > 0))
+    return (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), F.col("token"))
+            .limit(k))
