@@ -17,9 +17,16 @@ the smallest input):
    bin key of the output is (split, bin_id).
 
 Every stage is the already-tested operator; this module adds only the
-composition and a per-stage audit report.  The report is computed from
-ONE action per stage boundary (counts), which is the price of an audit —
-pass ``report=False`` to skip all counting and keep the plan fully lazy.
+composition and a per-stage audit report.  With ``report=True`` each
+stage frame is persisted (serialized, spillable) before its count, so
+the audit costs one extra action per stage but never recomputes the
+upstream pipeline; the caches are left in place to serve the returned
+frame and can be dropped with ``spark.catalog.clearCache()`` (or by the
+returned frame's own lifecycle).  ``report=False`` skips persisting and
+counting entirely — note the near-dup clustering stage is inherently
+iterative (connected components), so SOME jobs still run at build time
+either way; the composition is "as lazy as its laziest stage", not
+plan-only.
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ from pyspark.sql import functions as F
 from .cluster import resolve_duplicates
 from .dedup import distinct_by_content, near_duplicates_minhash
 from .packing import hash_split, pack_sequences
-from .text import lang_id, quality_score, token_count_ws
+from .text import lang_id, quality_score
 
 
 def curate_corpus(df: DataFrame, id_col: str = "doc_id",
@@ -40,55 +47,68 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
                   jaccard_threshold: float = 0.8,
                   max_tokens: int = 2048,
                   weights: dict[str, int] | None = None,
-                  report: bool = True
+                  report: bool = True,
+                  pack_partitions: int | None = 64
                   ) -> tuple[DataFrame, list[dict]]:
     """Run the full curation pipeline; returns (curated, stage_report).
 
     ``curated`` columns: every input column plus ``pred_lang``,
-    ``quality_score``, ``split``, ``n_tokens``, ``bin_id``.
-    ``stage_report`` is a list of {stage, rows} dicts (empty when
-    ``report=False``).
+    ``quality_score``, ``n_tokens``, ``split``, ``bin_id`` — scoring
+    helper columns are dropped.  ``stage_report`` is a list of
+    {stage, rows} dicts (empty when ``report=False``).
+    ``pack_partitions`` (default 64) pins the packing layout so bins are
+    reproducible across cluster sizes; None keeps the input partitioning
+    (fastest, but bin ids then depend on it).
     """
     weights = weights or {"train": 95, "valid": 5}
     audit: list[dict] = []
 
-    def note(stage: str, frame: DataFrame) -> None:
+    def note(stage: str, frame: DataFrame, cache: bool = True) -> DataFrame:
         if report:
+            if cache:
+                from pyspark import StorageLevel
+
+                frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
             audit.append({"stage": stage, "rows": frame.count()})
+        return frame
 
-    note("input", df)
+    note("input", df, cache=False)   # caller's frame: count only
 
-    exact = distinct_by_content(df, id_col=id_col, text_col=text_col)
-    note("after_exact_dedup", exact)
+    exact = note("after_exact_dedup",
+                 distinct_by_content(df, id_col=id_col, text_col=text_col))
 
     pairs = near_duplicates_minhash(exact, id_col=id_col, text_col=text_col,
                                     threshold=jaccard_threshold)
-    near = resolve_duplicates(exact, pairs, id_col=id_col)
-    note("after_near_dedup", near)
+    near = note("after_near_dedup",
+                resolve_duplicates(exact, pairs, id_col=id_col))
 
     scored = quality_score(
         lang_id(near, text_col=text_col), text_col=text_col)
-    kept = scored.where(
+    # drop the scoring helper columns (hits_*, punct_ratio, ...) but keep
+    # n_tokens: quality_features already computed it with token_count_ws,
+    # so the packer reuses it instead of re-tokenizing
+    kept = note("after_quality_lang_gate", scored.where(
         F.col("pred_lang").isin(*languages)
         & (F.col("quality_score") >= F.lit(min_quality)))
-    note("after_quality_lang_gate", kept)
+        .select(*df.columns, "pred_lang", "quality_score", "n_tokens"))
 
-    split = hash_split(kept, id_col, weights)
-
-    toks = split.withColumn("n_tokens", token_count_ws(F.col(text_col)))
+    toks = hash_split(kept, id_col, weights)
     # pack each split independently so a bin can never mix train and
-    # valid rows; (split, bin_id) is the unique bin key of the output
+    # valid rows; (split, bin_id) is the unique bin key of the output.
+    # pack_partitions pins the packing layout: the same value on any
+    # cluster size reproduces the same bins (bin ids are namespaced by
+    # partition id).
     packs = [
         pack_sequences(toks.where(F.col("split") == name)
                        .select(id_col, "n_tokens"),
                        id_col=id_col, tokens_col="n_tokens",
-                       max_tokens=max_tokens)
+                       max_tokens=max_tokens,
+                       num_partitions=pack_partitions)
         .select(F.col("id").alias(id_col), "bin_id")
         for name in weights
     ]
     packed = packs[0]
     for p in packs[1:]:
         packed = packed.unionByName(p)
-    out = toks.join(packed, id_col)
-    note("output", out)
+    out = note("output", toks.join(packed, id_col), cache=False)
     return out, audit

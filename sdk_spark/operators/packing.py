@@ -94,7 +94,10 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     slim = df.select(F.col(id_col).alias("id"),
                      F.col(tokens_col).cast("long").alias("tok"))
     if num_partitions is not None:
-        slim = slim.repartition(num_partitions) if num_partitions > 1 \
+        # hash-partition BY ID (plain repartition(n) is round-robin and
+        # input-partitioning-dependent): same num_partitions -> same
+        # partition contents -> same bins on any cluster
+        slim = slim.repartition(num_partitions, "id") if num_partitions > 1 \
             else slim.coalesce(1)
     # id order within each partition lets the kernel stream Arrow batches
     # with carried (bin, fill) state — no partition-wide buffering

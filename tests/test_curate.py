@@ -58,23 +58,23 @@ def test_curate_end_to_end(spark):
     assert 102 not in ids and 103 not in ids
     assert set(ids) == set(range(40))
 
-    # split is deterministic + total
-    splits = {r["doc_id"]: r["split"] for r in rows}
+    # split AND bin assignment are deterministic under repartitioning
+    splits = {r["doc_id"]: (r["split"], r["bin_id"]) for r in rows}
     out2, _ = curate_corpus(df.repartition(7), max_tokens=128,
                             weights={"train": 80, "valid": 20},
                             report=False)
-    assert {r["doc_id"]: r["split"] for r in out2.collect()} == splits
+    assert {r["doc_id"]: (r["split"], r["bin_id"])
+            for r in out2.collect()} == splits
 
-    # bins never mix splits and never exceed the budget
+    # bins never exceed the budget; split separation is structural
+    # (each split packs independently, (split, bin_id) is the bin key)
     from collections import defaultdict
-    per_bin = defaultdict(lambda: [set(), 0])
+    per_bin = defaultdict(int)
     for r in rows:
-        key = (r["split"], r["bin_id"])
-        per_bin[key][0].add(r["split"])
-        per_bin[key][1] += r["n_tokens"]
-    for (split, _b), (names, tot) in per_bin.items():
-        assert names == {split}
-        assert tot <= 128
+        per_bin[(r["split"], r["bin_id"])] += r["n_tokens"]
+    assert all(tot <= 128 for tot in per_bin.values())
+    # helper scoring columns are dropped from the contract schema
+    assert "hits_en" not in out.columns and "punct_ratio" not in out.columns
 
 
 def test_curate_report_off_is_lazy(spark):
