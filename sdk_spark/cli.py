@@ -32,8 +32,19 @@ import sys
 
 def build_arg_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="sdk-spark-validate")
-    p.add_argument("--schema", required=True,
-                   help="JSON Structure schema file, or '-' for stdin")
+    p.add_argument("--schema", default=None,
+                   help="JSON Structure schema file, or '-' for stdin "
+                        "(required unless --infer)")
+    p.add_argument("--infer", action="store_true",
+                   help="profile --input and print a DRAFT JSON Structure "
+                        "schema (types + required + margin-widened bounds "
+                        "+ enums) instead of validating; the output is the "
+                        "authoring-loop starting point for --schema")
+    p.add_argument("--infer-margin", type=float, default=0.1,
+                   help="relative widening applied to observed bounds")
+    p.add_argument("--infer-enum-limit", type=int, default=16)
+    p.add_argument("--sample-fraction", type=float, default=None,
+                   help="profile a seeded sample instead of the full table")
     p.add_argument("--input", default=None,
                    help="parquet path or table:<catalog table name>")
     p.add_argument("--violations", default=None, help="violations output path")
@@ -120,8 +131,33 @@ def emit_report(located: list[dict], fmt: str, quiet: bool,
               f"at {issue['path']}{where}", file=out)
 
 
+def _run_infer(args) -> int:
+    if not args.input:
+        print("ERROR: --infer requires --input", file=sys.stderr)
+        return 2
+    from pyspark.sql import SparkSession
+
+    from .schema.infer import infer_schema
+
+    spark = SparkSession.builder.getOrCreate()
+    df = (spark.table(args.input.removeprefix("table:"))
+          if args.input.startswith("table:")
+          else spark.read.parquet(args.input))
+    doc = infer_schema(df, margin=args.infer_margin,
+                       enum_limit=args.infer_enum_limit,
+                       sample_fraction=args.sample_fraction)
+    print(json.dumps(doc, indent=2))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
+
+    if args.infer:
+        return _run_infer(args)
+    if not args.schema:
+        print("ERROR: --schema is required unless --infer", file=sys.stderr)
+        return 2
 
     from .schema.locator import locate_issues
     from .schema.validator import SchemaChecker

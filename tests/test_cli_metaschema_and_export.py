@@ -91,3 +91,38 @@ def test_export_without_transform_unchanged():
     doc = schema_from_struct_type(st)
     assert doc["properties"] == {"a": {"type": "int64"}}
     assert doc["required"] == ["a"]
+
+
+def test_cli_infer_prints_compilable_schema(spark, tmp_path, capsys):
+    """--infer profiles a parquet input and prints a draft schema that the
+    front-end accepts and the compiler can validate the data with."""
+    import json
+
+    from sdk_spark.cli import main
+    from sdk_spark.compiler.core import CompiledSchema
+    from sdk_spark.schema.validator import SchemaChecker
+
+    src = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, float(i % 9), ["x", "y"][i % 2]) for i in range(60)],
+        "id long, v double, tag string").write.parquet(src)
+    rc = main(["--infer", "--input", src])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert SchemaChecker(extended=True).validate(doc) == []
+    validated = CompiledSchema(doc, extended=True).validate(
+        spark.read.parquet(src))
+    from pyspark.sql import functions as F
+    assert validated.where(~F.col("valid")).count() == 0
+
+
+def test_cli_infer_requires_input():
+    from sdk_spark.cli import main
+
+    assert main(["--infer"]) == 2
+
+
+def test_cli_schema_still_required_without_infer():
+    from sdk_spark.cli import main
+
+    assert main([]) == 2
