@@ -131,7 +131,18 @@ def emit_report(located: list[dict], fmt: str, quiet: bool,
               f"at {issue['path']}{where}", file=out)
 
 
+def _read_input(spark, input_arg: str):
+    """parquet path or ``table:<name>`` — the ONE place this is decided."""
+    if input_arg.startswith("table:"):
+        return spark.table(input_arg.removeprefix("table:"))
+    return spark.read.parquet(input_arg)
+
+
 def _run_infer(args) -> int:
+    if args.schema or args.check_only:
+        print("ERROR: --infer conflicts with --schema/--check-only "
+              "(it PRODUCES the schema)", file=sys.stderr)
+        return 2
     if not args.input:
         print("ERROR: --infer requires --input", file=sys.stderr)
         return 2
@@ -140,9 +151,7 @@ def _run_infer(args) -> int:
     from .schema.infer import infer_schema
 
     spark = SparkSession.builder.getOrCreate()
-    df = (spark.table(args.input.removeprefix("table:"))
-          if args.input.startswith("table:")
-          else spark.read.parquet(args.input))
+    df = _read_input(spark, args.input)
     doc = infer_schema(df, margin=args.infer_margin,
                        enum_limit=args.infer_enum_limit,
                        sample_fraction=args.sample_fraction)
@@ -213,10 +222,7 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     spark = SparkSession.builder.appName("sdk-spark-validate").getOrCreate()
-    if args.input.startswith("table:"):
-        df = spark.read.table(args.input.removeprefix("table:"))
-    else:
-        df = spark.read.parquet(args.input)
+    df = _read_input(spark, args.input)
 
     plan = CompiledSchema(schema_doc, extended=args.extended,
                           external_schemas=external or None)

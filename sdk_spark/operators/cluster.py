@@ -27,7 +27,13 @@ Each round ends in ``localCheckpoint(eager=True)`` to truncate lineage
 (iterative plans otherwise grow by two shuffles per round and overwhelm
 the optimizer), and convergence is detected by a (count, hash-sum)
 fingerprint of the edge set — one lightweight action per round on the
-already-materialized checkpoint.
+already-materialized checkpoint.  Superseded round checkpoints are
+storage-evictable cached blocks (MEMORY_AND_DISK) reclaimed by Spark's
+ContextCleaner once their plan references die; a driver running MANY
+clustering jobs in one session accrues a few small edge-set blocks per
+run until then — they are evicted before any executor OOMs, but a
+storage-tidy caller can bound them with an explicit
+``spark.catalog.clearCache()`` between unrelated pipelines.
 
 Reference parity: the reference SDK validates instances one at a time
 and has no cross-row graph operator (nothing to cite); this operator is

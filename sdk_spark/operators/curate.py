@@ -20,9 +20,9 @@ Every stage is the already-tested operator; this module adds only the
 composition and a per-stage audit report.  With ``report=True`` each
 stage frame is persisted (serialized, spillable) before its count, so
 the audit costs one extra action per stage but never recomputes the
-upstream pipeline; the caches are left in place to serve the returned
-frame and can be dropped with ``spark.catalog.clearCache()`` (or by the
-returned frame's own lifecycle).  ``report=False`` skips persisting and
+upstream pipeline; each stage's cache is released as soon as its
+successor materializes, leaving only the RETURNED frame cached —
+call ``curated.unpersist()`` when done with it.  ``report=False`` skips persisting and
 counting entirely — note the near-dup clustering stage is inherently
 iterative (connected components), so SOME jobs still run at build time
 either way; the composition is "as lazy as its laziest stage", not
@@ -62,6 +62,7 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     """
     weights = weights or {"train": 95, "valid": 5}
     audit: list[dict] = []
+    prev_cached: list[DataFrame] = []
 
     def note(stage: str, frame: DataFrame, cache: bool = True) -> DataFrame:
         if report:
@@ -70,6 +71,14 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
 
                 frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
             audit.append({"stage": stage, "rows": frame.count()})
+            # the count materialized this stage; its PREDECESSOR cache has
+            # served its purpose and can go — only the newest stage (and
+            # finally the returned frame) stays cached, so repeated
+            # curate_corpus calls do not accumulate cached blocks
+            if cache:
+                while prev_cached:
+                    prev_cached.pop().unpersist()
+                prev_cached.append(frame)
         return frame
 
     note("input", df, cache=False)   # caller's frame: count only
@@ -87,10 +96,12 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     # drop the scoring helper columns (hits_*, punct_ratio, ...) but keep
     # n_tokens: quality_features already computed it with token_count_ws,
     # so the packer reuses it instead of re-tokenizing
+    base_cols = [c for c in df.columns
+                 if c not in ("pred_lang", "quality_score", "n_tokens")]
     kept = note("after_quality_lang_gate", scored.where(
         F.col("pred_lang").isin(*languages)
         & (F.col("quality_score") >= F.lit(min_quality)))
-        .select(*df.columns, "pred_lang", "quality_score", "n_tokens"))
+        .select(*base_cols, "pred_lang", "quality_score", "n_tokens"))
 
     toks = hash_split(kept, id_col, weights)
     # pack each split independently so a bin can never mix train and
@@ -110,5 +121,5 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     packed = packs[0]
     for p in packs[1:]:
         packed = packed.unionByName(p)
-    out = note("output", toks.join(packed, id_col), cache=False)
+    out = note("output", toks.join(packed, id_col))
     return out, audit

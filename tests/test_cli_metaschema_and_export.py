@@ -126,3 +126,9 @@ def test_cli_schema_still_required_without_infer():
     from sdk_spark.cli import main
 
     assert main([]) == 2
+
+
+def test_cli_infer_conflicts_with_schema():
+    from sdk_spark.cli import main
+
+    assert main(["--infer", "--schema", "x.json", "--input", "y"]) == 2

@@ -81,3 +81,13 @@ def test_curate_report_off_is_lazy(spark):
     out, audit = curate_corpus(planted_corpus(spark), report=False)
     assert audit == []
     assert out.count() > 0
+
+
+def test_curate_accepts_pretokenized_input(spark):
+    """An input that ALREADY has n_tokens must not yield duplicate
+    columns; the pipeline's recount replaces it cleanly."""
+    df = planted_corpus(spark).withColumn(
+        "n_tokens", F.lit(999).cast("long"))
+    out, _ = curate_corpus(df, max_tokens=128, report=False)
+    assert out.columns.count("n_tokens") == 1
+    assert out.where(F.col("n_tokens") == 999).count() == 0  # recounted

@@ -57,3 +57,36 @@ def test_sessionize_plan_one_exchange(spark):
     text = sessionize(df)._jdf.queryExecution().executedPlan().toString()
     assert text.count("Exchange") == 1, text
     assert "Python" not in text
+
+
+def test_epoch_micros_ntz_pinned_values(spark):
+    """The NTZ wall-clock arithmetic branch, pinned to known epochs —
+    independent of spark.sql.session.timeZone by construction."""
+    from pyspark.sql import functions as F
+
+    from sdk_spark.operators.sessions import epoch_micros
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:07.179575",),
+         ("2024-03-10 02:30:00.5",),          # inside the US DST gap
+         ("1969-12-31 23:59:59",)],           # pre-epoch
+        "s string").select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = [r["us"] for r in df.select(epoch_micros(df, "ts").alias("us"))
+           .collect()]
+    assert got == [1704067207179575, 1710037800500000, -1000000]
+
+
+def test_sessionize_ntz_column(spark):
+    """sessionize on a TIMESTAMP_NTZ column (the parquet default)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:10:00", 1),
+         (2, "2024-01-01 01:00:00", 1)],
+        "event_id long, s string, user_id long") \
+        .select("event_id", F.col("s").cast("timestamp_ntz").alias("ts"),
+                "user_id")
+    got = [r["session_id"] for r in
+           sessionize(df).orderBy("event_id").collect()]
+    assert got == [0, 0, 1]
