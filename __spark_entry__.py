@@ -577,6 +577,24 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(docs, "text", k=50)
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI distribution drift between two deterministic halves of orders
+    (split by the SQL-replicable multiplicative hash): fixed price bins,
+    two aggregations + a tiny bucket join; per-bucket contributions
+    rounded to 6 decimals so the ln() float twin hash-matches."""
+    from sdk_spark.operators.packing import split_bucket
+    from sdk_spark.operators.table_checks import psi_drift
+
+    orders = _t(spark, sf_dir, "orders")
+    half_a = orders.where(split_bucket(F.col("o_orderkey")) < 50)
+    half_b = orders.where(split_bucket(F.col("o_orderkey")) >= 50)
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000),
+                     F.lit(8)).cast("long")
+    out = psi_drift(half_a, half_b, bucket)
+    return out.select("bucket", "n_a", "n_b",
+                      F.round("psi_contrib", 6).alias("psi_contrib"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -612,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -952,6 +971,32 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(doc_tok) / 1000.0, 4) AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
+        """,
+        "psi_drift": """
+            WITH a AS (
+              SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 8)
+                     AS bucket, COUNT(*) AS n_a
+              FROM orders
+              WHERE ((o_orderkey % 1000003) * 2654435761) % 100 < 50
+              GROUP BY 1
+            ), b AS (
+              SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 8)
+                     AS bucket, COUNT(*) AS n_b
+              FROM orders
+              WHERE ((o_orderkey % 1000003) * 2654435761) % 100 >= 50
+              GROUP BY 1
+            ), j AS (
+              SELECT coalesce(a.bucket, b.bucket) AS bucket,
+                     coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+                     greatest(coalesce(n_a, 0)::DOUBLE /
+                              (SELECT SUM(n_a) FROM a), 1e-6) AS p_a,
+                     greatest(coalesce(n_b, 0)::DOUBLE /
+                              (SELECT SUM(n_b) FROM b), 1e-6) AS p_b
+              FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+            )
+            SELECT bucket, n_a, n_b,
+                   round((p_a - p_b) * ln(p_a / p_b), 6) AS psi_contrib
+            FROM j
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (

@@ -27,7 +27,7 @@ from collections import deque
 from functools import reduce
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .. import errors as E
@@ -244,3 +244,36 @@ def drift(ref_sketch: dict[str, list[float]],
             "threshold": threshold,
         })
     return findings
+
+
+def psi_drift(df_a: DataFrame, df_b: DataFrame, bucket: Column,
+              alias: str = "bucket", epsilon: float = 1e-6) -> DataFrame:
+    """Population Stability Index between two snapshots, per bucket.
+
+    The complement of the KLL-sketch drift check: PSI is the industry's
+    fixed-binning drift score (sum of (p-q)·ln(p/q) over buckets), fully
+    deterministic given a deterministic ``bucket`` expression — so unlike
+    the sketch path it has an exact SQL twin and the driver can oracle
+    it.  Each side is ONE aggregation (two-phase partial/final); the
+    per-bucket join is over the tiny bucket dimension.
+
+    Returns (bucket, n_a, n_b, p_a, p_b, psi_contrib); the total PSI is
+    ``sum(psi_contrib)``.  ``epsilon`` floors empty-bucket proportions so
+    a bucket present in only one snapshot contributes a large-but-finite
+    score instead of ±inf (standard PSI practice).
+    """
+    a = df_a.select(bucket.alias(alias)).groupBy(alias) \
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    b = df_b.select(bucket.alias(alias)).groupBy(alias) \
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    tot_a = F.sum("n_a").over(Window.partitionBy())
+    tot_b = F.sum("n_b").over(Window.partitionBy())
+    j = (a.join(b, alias, "full_outer")
+         .fillna(0, ["n_a", "n_b"])
+         .withColumn("p_a", F.greatest(F.col("n_a") / tot_a,
+                                       F.lit(epsilon)))
+         .withColumn("p_b", F.greatest(F.col("n_b") / tot_b,
+                                       F.lit(epsilon))))
+    contrib = (F.col("p_a") - F.col("p_b")) * \
+        F.log(F.col("p_a") / F.col("p_b"))
+    return j.withColumn("psi_contrib", contrib)

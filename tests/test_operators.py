@@ -221,3 +221,34 @@ def test_phash_members_counts(spark):
     r = out[0]
     assert {r["members_a"], r["members_b"]} == {7, 1}
     assert r["hamming"] == 1
+
+
+def test_psi_drift_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from sdk_spark.operators.table_checks import psi_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "x double")
+    b_same = spark.createDataFrame([(float(i % 10),) for i in range(500)], "x double")
+    b_shift = spark.createDataFrame([(float(i % 3),) for i in range(500)], "x double")
+    bucket = F.floor(F.col("x")).cast("long")
+
+    def total(df_b):
+        rows = psi_drift(a, df_b, bucket).collect()
+        return sum(r["psi_contrib"] for r in rows)
+
+    assert total(b_same) < 0.01            # identical distribution
+    assert total(b_shift) > 0.5            # gross shift: PSI >> 0.25 bar
+
+
+def test_psi_drift_one_sided_bucket_finite(spark):
+    from pyspark.sql import functions as F
+
+    from sdk_spark.operators.table_checks import psi_drift
+
+    a = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    b = spark.createDataFrame([(1.0,), (9.0,)], "x double")  # bucket 9 only in b
+    rows = psi_drift(a, b, F.floor(F.col("x")).cast("long")).collect()
+    import math
+    assert all(math.isfinite(r["psi_contrib"]) for r in rows)
+    assert {r["bucket"] for r in rows} == {1, 2, 9}
