@@ -58,6 +58,10 @@ def decode_image(payload: bytes, fmt: str | None = None,
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
+    if payload[:4] == b"qoif":
+        from ..functions.qoi import decode_qoi
+
+        return decode_qoi(payload)         # QOI carries no EXIF
     arr = None
     if payload[:2] == b"\xFF\xD8":
         from ..functions.jpeg import decode_jpeg
@@ -127,6 +131,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from ..functions.tiff import encode_tiff
 
         return encode_tiff(arr, compression=8)
+    if fmt == "qoi":
+        from ..functions.qoi import encode_qoi
+
+        return encode_qoi(arr)
     raise ValueError(f"unsupported output format: {fmt}")
 
 

@@ -17,6 +17,7 @@ import pytest
 
 from sdk_spark.functions.bmp import encode_bmp
 from sdk_spark.functions.ico import encode_ico
+from sdk_spark.functions.qoi import encode_qoi
 from sdk_spark.functions.gif import encode_gif, encode_gif_animation
 from sdk_spark.functions.tiff import encode_tiff
 from sdk_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
@@ -47,6 +48,7 @@ PAYLOADS = {
                             rows_per_strip=8),
     "tiff_packbits": encode_tiff(_IMG, compression=32773, rows_per_strip=8),
     "ico_png": encode_ico(_IMG),
+    "qoi": encode_qoi(_IMG),
 }
 
 
