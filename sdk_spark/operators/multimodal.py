@@ -83,11 +83,19 @@ def decode_image(payload: bytes, fmt: str | None = None,
         from ..functions.tiff import decode_tiff
 
         return decode_tiff(payload)        # EXIF-in-TIFF: dims are exact
+    elif payload[:2] in (b"P5", b"P6"):
+        from ..functions.pnm import decode_pnm
+
+        return decode_pnm(payload)         # PNM carries no EXIF
     else:
         from ..functions.ico import decode_ico, looks_like_ico
 
         if looks_like_ico(payload):
             return decode_ico(payload)     # ICO carries no EXIF
+        from ..functions.tga import decode_tga, looks_like_tga
+
+        if looks_like_tga(payload):
+            return decode_tga(payload)     # TGA carries no EXIF
     if arr is None:
         raise ValueError("unrecognized image payload")
     if auto_orient:
@@ -135,6 +143,14 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from ..functions.qoi import encode_qoi
 
         return encode_qoi(arr)
+    if fmt in ("pnm", "ppm"):
+        from ..functions.pnm import encode_pnm
+
+        return encode_pnm(arr)
+    if fmt == "tga":
+        from ..functions.tga import encode_tga
+
+        return encode_tga(arr)
     raise ValueError(f"unsupported output format: {fmt}")
 
 

@@ -17,7 +17,9 @@ import pytest
 
 from sdk_spark.functions.bmp import encode_bmp
 from sdk_spark.functions.ico import encode_ico
+from sdk_spark.functions.pnm import encode_pnm
 from sdk_spark.functions.qoi import encode_qoi
+from sdk_spark.functions.tga import encode_tga
 from sdk_spark.functions.gif import encode_gif, encode_gif_animation
 from sdk_spark.functions.tiff import encode_tiff
 from sdk_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
@@ -49,6 +51,8 @@ PAYLOADS = {
     "tiff_packbits": encode_tiff(_IMG, compression=32773, rows_per_strip=8),
     "ico_png": encode_ico(_IMG),
     "qoi": encode_qoi(_IMG),
+    "pnm": encode_pnm(_IMG),
+    "tga": encode_tga(_IMG),
 }
 
 
