@@ -59,6 +59,7 @@ HEADLINE = [
     "pack_stats",
     "dataset_split",
     "vocab_topk",
+    "psi_drift",
     "image_validate",
 ]
 
