@@ -114,3 +114,79 @@ def first_seen(stream_df: DataFrame, key_col: str,
             .applyInPandasWithState(update, FIRST_SEEN_SCHEMA, _SEEN_STATE,
                                     "update",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("key", T.StringType(), True),
+    T.StructField("session_start_us", T.LongType(), True),
+    T.StructField("session_end_us", T.LongType(), True),
+    T.StructField("n_events", T.LongType(), True),
+    T.StructField("closed", T.BooleanType(), True),
+])
+_SESSION_STATE = T.StructType([
+    T.StructField("start_us", T.LongType(), True),
+    T.StructField("end_us", T.LongType(), True),
+    T.StructField("n", T.LongType(), True),
+])
+
+
+def streaming_sessions(stream_df: DataFrame, key_col: str,
+                       ts_col: str = "ts",
+                       gap_minutes: float = 30.0) -> DataFrame:
+    """Streaming twin of ``operators.sessions.sessionize``: per-key gap
+    sessions over a stream, closed by a processing-time timeout.
+
+    Semantics per micro-batch (events sorted by time within the batch):
+    an event within ``gap`` of the open session extends it; a larger gap
+    CLOSES the open session (emitted with ``closed=true``) and opens a
+    new one.  A processing-time timeout of the same gap closes idle
+    sessions so state is O(active keys), never O(events) — the same
+    bounded-state discipline as ``first_seen``.  Updates for the open
+    session are emitted with ``closed=false`` so downstream sinks can
+    show live session activity.
+
+    Exactly the batch operator's boundary rule (gap STRICTLY greater
+    than the threshold starts a new session, exact-microsecond compare),
+    so a backfill with ``sessionize`` and the live stream agree on every
+    boundary decision.
+    """
+    gap_us = int(gap_minutes * 60_000_000)
+    slim = stream_df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"))
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState
+               ) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                out.append((key[0], s, e, n, True))
+            state.remove()
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             SESSION_SCHEMA.fields])
+            return
+        cur = state.get if state.exists else None
+        times = []
+        for pdf in pdfs:
+            times.extend(int(v) for v in pdf["us"] if not pd.isna(v))
+        times.sort()
+        for us in times:
+            if cur is None:
+                cur = (us, us, 1)
+            elif us - cur[1] > gap_us:
+                out.append((key[0], cur[0], cur[1], cur[2], True))
+                cur = (us, us, 1)
+            else:
+                cur = (cur[0], max(cur[1], us), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutDuration(gap_us // 1000 or 1)
+            out.append((key[0], cur[0], cur[1], cur[2], False))
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         SESSION_SCHEMA.fields])
+
+    return (slim.groupBy("key")
+            .applyInPandasWithState(update, SESSION_SCHEMA, _SESSION_STATE,
+                                    "update",
+                                    GroupStateTimeout.ProcessingTimeTimeout))

@@ -206,3 +206,45 @@ def test_streaming_image_table_validation(spark, tmp_path):
     rows = spark.sql("SELECT * FROM img_feats").collect()
     assert len(rows) == n
     assert sum(1 for r in rows if r["decode_ok"]) == n   # payloads all real
+
+
+def test_streaming_sessions_stateful(spark, tmp_path):
+    """Gap sessions over a stream: same boundary rule as the batch
+    operator; in-batch gaps close sessions immediately."""
+    import datetime as dt
+
+    from sdk_spark.streaming.stateful import streaming_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        [(1, m(0)), (1, m(10)), (1, m(50)),     # gap 40 -> close + reopen
+         (2, m(0))],
+        "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp") \
+        .parquet(src)
+    out = streaming_sessions(stream, "user_id", gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("sessions_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sessions_t").collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    closed_1 = [r for r in by_key["1"] if r["closed"]]
+    open_1 = [r for r in by_key["1"] if not r["closed"]]
+    assert len(closed_1) == 1 and closed_1[0]["n_events"] == 2
+    assert len(open_1) == 1 and open_1[0]["n_events"] == 1
+    assert by_key["2"][0]["n_events"] == 1 and not by_key["2"][0]["closed"]
+    # batch/stream boundary agreement on the same data
+    from sdk_spark.operators.sessions import session_stats
+
+    batch = session_stats(
+        spark.read.parquet(src).withColumn(
+            "event_id", F.monotonically_increasing_id()),
+        gap_minutes=30)
+    assert batch.count() == 3                    # 2 sessions for u1 + 1 for u2
