@@ -62,6 +62,7 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
     cols = df.select(F.col(id_col).alias("media_id"), F.col(bytes_col))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.flac import decode_flac
         from ..functions.wav import decode_wav
 
         for pdf in batches:
@@ -71,7 +72,9 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
                     rows.append((mid, None, None, None, None, None, None, False))
                     continue
                 try:
-                    samples, rate = decode_wav(bytes(payload))
+                    raw = bytes(payload)
+                    decode = decode_flac if raw[:4] == b"fLaC" else decode_wav
+                    samples, rate = decode(raw)
                 except (ValueError, NotImplementedError):
                     rows.append((mid, None, None, None, None, None, None, False))
                     continue

@@ -103,6 +103,19 @@ def test_corrupt_ico_dib_fails_closed():
                 pass
 
 
+def test_corrupt_flac_fails_closed():
+    from sdk_spark.functions.flac import decode_flac, encode_flac
+
+    pcm = (RNG.standard_normal(2000) * 8000).astype(np.int16)
+    for case in _mutations(bytes(encode_flac(pcm, 8000, block_size=512))):
+        with _Timeout():
+            try:
+                samples, rate = decode_flac(case)
+                assert rate > 0
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_corrupt_adpcm_fails_closed():
     from sdk_spark.functions.wav import encode_wav_ima
 
