@@ -595,6 +595,17 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("psi_contrib", 6).alias("psi_contrib"))
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleanup: control-strip + ASCII-whitespace collapse
+    (pure Catalyst, explicit classes — no \\s dialect ambiguity) + NFC
+    via an Arrow pandas_udf, oracled against DuckDB's nfc_normalize."""
+    from sdk_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return normalize_text(docs, "text").select(
+        "doc_id", "text_norm", F.length("text_norm").alias("norm_len"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -631,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "vocab_topk": q_vocab_topk,
         "psi_drift": q_psi_drift,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -971,6 +983,16 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(doc_tok) / 1000.0, 4) AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
+        """,
+        "text_normalize": r"""
+            SELECT doc_id,
+                   nfc_normalize(trim(regexp_replace(
+                       regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                       '[ \t\n\r\f]+', ' ', 'g'))) AS text_norm,
+                   length(nfc_normalize(trim(regexp_replace(
+                       regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+                       '[ \t\n\r\f]+', ' ', 'g')))) AS norm_len
+            FROM documents WHERE text IS NOT NULL
         """,
         "psi_drift": """
             WITH a AS (

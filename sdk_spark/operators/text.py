@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from functools import reduce
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,3 +153,37 @@ def vocab_topk(df: DataFrame, text_col: str = "text", k: int = 100,
             .agg(F.count(F.lit(1)).alias("freq"))
             .orderBy(F.desc("freq"), F.col("token"))
             .limit(k))
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str = "text_norm", nfc: bool = True,
+                   lowercase: bool = False) -> DataFrame:
+    """Canonical text cleanup: strip C0/DEL control characters, collapse
+    runs of ASCII whitespace to one space, trim, optionally Unicode-NFC
+    normalize and lowercase.
+
+    The control/whitespace/trim/lower steps are pure Catalyst (explicit
+    ASCII classes — Java, RE2, and Python regex dialects disagree on what
+    ``\\s`` means, so none of them is used).  NFC has no Catalyst
+    expression; it runs as an Arrow-vectorized ``pandas_udf`` over the
+    already-collapsed column (no shuffle, no per-row Python API), and the
+    driver oracles it against DuckDB's ``nfc_normalize``.
+    """
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(c, "[\\x00-\\x1F\\x7F]", " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, "[ \\t\\n\\r\\f]+", " "))
+    if lowercase:
+        cleaned = F.lower(cleaned)
+    if not nfc:
+        return df.withColumn(out_col, cleaned)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: unicodedata.normalize("NFC", x)
+                     if x is not None else None)
+
+    return df.withColumn(out_col, _nfc(cleaned))

@@ -252,3 +252,28 @@ def test_psi_drift_one_sided_bucket_finite(spark):
     import math
     assert all(math.isfinite(r["psi_contrib"]) for r in rows)
     assert {r["bucket"] for r in rows} == {1, 2, 9}
+
+
+def test_normalize_text_paths(spark):
+    from pyspark.sql import functions as F
+
+    from sdk_spark.operators.text import normalize_text
+
+    decomposed = "Café"                 # e + combining acute
+    rows = [(1, "  a\tb\n\nc  "), (2, "x\x00y\x1fz"),
+            (3, decomposed), (4, None), (5, "MiXeD Case")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_norm"] for r in
+           normalize_text(df).collect()}
+    assert out[1] == "a b c"
+    assert out[2] == "x y z"                  # controls -> spaces, collapsed
+    assert out[3] == "Caf\u00e9" and len(out[3]) == 4   # NFC composed
+    assert out[4] is None
+    assert out[5] == "MiXeD Case"             # lowercase off by default
+    low = {r["doc_id"]: r["text_norm"] for r in
+           normalize_text(df, lowercase=True, nfc=False).collect()}
+    assert low[5] == "mixed case"
+    # the nfc=False path is pure Catalyst (no Python in the plan)
+    plan = normalize_text(df, nfc=False)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Python" not in plan and "Eval" not in plan
