@@ -979,8 +979,9 @@ def oracle_sql() -> dict[str, str]:
               FROM st s JOIN docs d ON d.rn = s.rn + 1
             )
             SELECT doc_bin AS bin_id, COUNT(*) AS n_docs,
-                   SUM(doc_tok) AS total_tokens,
-                   round(SUM(doc_tok) / 1000.0, 4) AS utilization
+                   CAST(SUM(doc_tok) AS BIGINT) AS total_tokens,
+                   CAST((CAST(SUM(doc_tok) AS BIGINT) * 10000) // 1000
+                        AS DOUBLE) / 10000 AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
         """,
@@ -999,13 +1000,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 8)
                      AS bucket, COUNT(*) AS n_a
               FROM orders
-              WHERE ((o_orderkey % 1000003) * 2654435761) % 100 < 50
+              WHERE ((((o_orderkey % 1000003) * 2654435761)
+                      % 4294967296) * 100) >> 32 < 50
               GROUP BY 1
             ), b AS (
               SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 8)
                      AS bucket, COUNT(*) AS n_b
               FROM orders
-              WHERE ((o_orderkey % 1000003) * 2654435761) % 100 >= 50
+              WHERE ((((o_orderkey % 1000003) * 2654435761)
+                      % 4294967296) * 100) >> 32 >= 50
               GROUP BY 1
             ), j AS (
               SELECT coalesce(a.bucket, b.bucket) AS bucket,
@@ -1053,9 +1056,10 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts,
-                     SUM(is_new) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) - 1
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) - 1
+                          AS BIGINT)
                      AS session_id
               FROM e
             )
@@ -1069,9 +1073,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN b < 80 THEN 'train'
                         WHEN b < 90 THEN 'valid'
                         ELSE 'test' END AS split,
-                   COUNT(*) AS n, SUM(doc_id) AS id_sum
+                   COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM (SELECT doc_id,
-                         ((doc_id % 1000003) * 2654435761) % 100 AS b
+                         ((((doc_id % 1000003) * 2654435761)
+                           % 4294967296) * 100) >> 32 AS b
                   FROM documents)
             GROUP BY 1
         """,

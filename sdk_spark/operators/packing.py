@@ -42,10 +42,24 @@ _KEY_MOD = 1_000_003
 def split_bucket(key_col: F.Column) -> F.Column:
     """Deterministic bucket in [0, 100) from a NON-NEGATIVE integer key.
 
+    Fibonacci/multiplicative hashing taken from the HIGH bits of the
+    32-bit product: ``((key % p) * KNUTH mod 2^32) * 100 >> 32``.  Taking
+    the product mod 100 directly would make the bucket depend only on
+    ``key mod 100`` (``(r*K) % 100 == ((r%100)*(K%100)) % 100``), so ids
+    with a stride sharing a factor with 100 — multiples of 10/100, common
+    with scaled or snowflake-style ids — would collapse into <=10 buckets
+    and silently empty some split bands.  The high-bits form mixes every
+    bit of the reduced key; a stride-s key advances the 32-bit product by
+    ``s*KNUTH mod 2^32``, which walks the full circle for any stride.
+
+    SQL twin (DuckDB / ANSI, int64-exact):
+    ``((((key % 1000003) * 2654435761) % 4294967296) * 100) >> 32``.
+
     Spark's ``%`` keeps the dividend's sign (as does ANSI SQL), so a
     negative key would bucket negative and fall outside every split band;
     keys are ids here, which are non-negative by construction."""
-    return ((key_col % _KEY_MOD) * F.lit(_KNUTH)) % 100
+    h = ((key_col % _KEY_MOD) * F.lit(_KNUTH)) % F.lit(1 << 32)
+    return F.shiftright(h * F.lit(100), 32)
 
 
 def hash_split(df: DataFrame, key_col: str,
@@ -138,10 +152,15 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
 
 
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
-    """(bin_id, n_docs, total_tokens, utilization) — packing audit."""
+    """(bin_id, n_docs, total_tokens, utilization) — packing audit.
+
+    ``utilization`` is truncated to 4 decimals via INT64 arithmetic
+    (``tokens*10000 DIV budget``, then scaled back to double) so any SQL
+    engine reproduces it bit-for-bit — ``round()`` on doubles is
+    engine-specific at ties and breaks cross-engine audits."""
     return (packed.groupBy("bin_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("tok").alias("total_tokens"))
             .withColumn("utilization",
-                        F.round(F.col("total_tokens") /
-                                F.lit(float(max_tokens)), 4)))
+                        F.expr(f"CAST(total_tokens * 10000 DIV "
+                               f"{int(max_tokens)} AS DOUBLE) / 10000")))

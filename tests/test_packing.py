@@ -108,9 +108,33 @@ def test_hash_split_weights_must_sum(spark):
         hash_split(df, "doc_id", {"train": 90, "valid": 5})
 
 
+def reference_bucket(key: int) -> int:
+    """Pure-Python twin of split_bucket (== its documented SQL form)."""
+    return ((((key % _KEY_MOD) * _KNUTH) % (1 << 32)) * 100) >> 32
+
+
 def test_split_bucket_matches_python(spark):
     df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
     got = {r["doc_id"]: r["b"] for r in
            df.select("doc_id", split_bucket(F.col("doc_id")).alias("b")).collect()}
     for i in range(500):
-        assert got[i] == ((i % _KEY_MOD) * _KNUTH) % 100
+        assert got[i] == reference_bucket(i)
+
+
+@pytest.mark.parametrize("stride", [10, 100, 1000])
+def test_split_bucket_mixes_strided_keys(spark, stride):
+    """Ids that are multiples of 10/100 (scaled / snowflake-style ids)
+    must still spread across ~all buckets — the naive (r*K) % 100 form
+    collapsed stride-10 keys into 10 buckets and emptied split bands."""
+    df = spark.createDataFrame([(i * stride,) for i in range(2000)],
+                               "doc_id long")
+    buckets = {r["b"] for r in
+               df.select(split_bucket(F.col("doc_id")).alias("b"))
+                 .distinct().collect()}
+    assert len(buckets) >= 95, f"stride {stride} hit only {len(buckets)}"
+    # and every band of a standard 80/10/10 split is populated
+    counts = {r["split"]: r["count"] for r in
+              hash_split(df, "doc_id", {"train": 80, "valid": 10,
+                                        "test": 10})
+              .groupBy("split").count().collect()}
+    assert set(counts) == {"train", "valid", "test"}, counts

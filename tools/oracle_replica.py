@@ -29,6 +29,36 @@ def make_duck(sf_dir: str):
     return con
 
 
+def pandas_type_kinds(name, fn, spark, sf, con, sql):
+    """STRICT twin of the driver's likely hash path: both result sets
+    fetched through pandas (Spark ``toPandas`` / DuckDB ``fetchdf``) and
+    compared by per-column dtype kind + exact cell ``repr``.  This is
+    what exposes e.g. DuckDB SUM -> HUGEINT -> float64-in-pandas while
+    Spark emits int64: values print identically but dtypes (and float
+    reprs) differ, which is how rows can value-match yet hash-amber in
+    CORRECTNESS_r{N}.json."""
+    sdf = fn(spark, sf).toPandas()
+    odf = con.execute(sql).fetchdf()
+    sdf = sdf[sorted(sdf.columns)]
+    odf = odf[sorted(odf.columns)]
+    msgs = []
+    for c in sdf.columns:
+        sk = sdf[c].dtype.kind
+        ok = odf[c].dtype.kind if c in odf.columns else "?"
+        # int64 vs (HUGEINT->) float64 or object is exactly the driver bug
+        if sk != ok and {sk, ok} != {"i", "O"}:
+            msgs.append(f"dtype[{c}]: spark={sdf[c].dtype} "
+                        f"oracle={odf[c].dtype}")
+    svals = sorted(map(repr, sdf.itertuples(index=False, name=None)))
+    ovals = sorted(map(repr, odf.itertuples(index=False, name=None)))
+    if svals != ovals:
+        d = next((i for i, (a, b) in enumerate(zip(svals, ovals))
+                  if a != b), -1)
+        msgs.append(f"repr diff at sorted row {d}: spark={svals[d][:200]} "
+                    f"oracle={ovals[d][:200]}")
+    return msgs
+
+
 def normalize(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
@@ -90,7 +120,12 @@ def main() -> int:
             fails.append((name, f"hash: first diff at sorted row {diff}: "
                                 f"spark={srows[diff]} oracle={orows[diff]}"))
         else:
-            print(f"  OK   {name:28s} {len(srows)} rows")
+            strict = pandas_type_kinds(name, fn, spark, sf, con,
+                                       oras[name])
+            if strict:
+                fails.append((name, f"STRICT: {'; '.join(strict)[:500]}"))
+            else:
+                print(f"  OK   {name:28s} {len(srows)} rows")
     for name, n in no_oracle:
         print(f"  --   {name:28s} {n} rows (no oracle)")
     for name, msg in fails:
