@@ -43,6 +43,59 @@ def test_cap_per_key_alias(spark):
     assert cap_per_key(df_strata(spark), "lang", 3).count() == 9
 
 
+def naive_sample(spark, df, strata_col, n, id_col="doc_id"):
+    """The full-stratum-sort form (the pre-r4 implementation) as the
+    exactness reference for the two-phase selection."""
+    from pyspark.sql import Window
+    from sdk_spark.operators.sampling import _det_order
+    w = Window.partitionBy(strata_col).orderBy(_det_order(id_col),
+                                               F.col(id_col))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= n).drop("__rk"))
+
+
+def test_stratified_two_phase_matches_naive_exactly(spark):
+    """Row-for-row identical to the full-sort form on a skewed input
+    (one huge stratum, several small ones, plus a NULL stratum)."""
+    rows = [(i, "big") for i in range(5000)] \
+        + [(10_000 + i, "mid") for i in range(40)] \
+        + [(20_000 + i, "tiny") for i in range(3)] \
+        + [(30_000 + i, None) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    want = {(r["doc_id"], r["lang"]) for r in
+            naive_sample(spark, df, "lang", 7).collect()}
+    got = {(r["doc_id"], r["lang"]) for r in
+           stratified_sample(df, "lang", 7).collect()}
+    assert got == want
+
+
+def test_stratified_deficiency_guard_still_exact(spark):
+    """With a deliberately starved margin (oversample=1, slack=0) the
+    prefilter under-selects some strata; the guard's fallback pass must
+    restore the exact naive row set."""
+    rows = [(i * 7 + 1, ["a", "b", "c", "d"][i % 4]) for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    want = {r["doc_id"] for r in
+            naive_sample(spark, df, "lang", 25).collect()}
+    got = {r["doc_id"] for r in
+           stratified_sample(df, "lang", 25, oversample=1,
+                             slack=0).collect()}
+    assert got == want
+
+
+def test_stratified_plan_prefilters_before_window(spark):
+    """Scale pin: the main row_number window must rank only
+    hash-threshold survivors — a Filter on the selection hash sits below
+    the Window, so no stratum is ever fully sorted in one task."""
+    df = df_strata(spark)
+    text = stratified_sample(df, "lang", 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    filt = [ln for ln in text.splitlines()
+            if "1000000007) < CASE WHEN" in ln
+            and ("Filter" in ln or "Join" in ln)]
+    assert filt, text
+
+
 def test_vocab_topk_counts_and_tiebreak(spark):
     df = spark.createDataFrame(
         [(1, "b a a  c B"), (2, "a c d"), (3, None)], "doc_id long, text string")
