@@ -141,17 +141,54 @@ def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
 
 def write_ann_index(df: DataFrame, path: str, vec_col: str = "embedding",
                     n_planes: int = 12, seed: int = 42,
-                    dim: int | None = None, nbits: int = 4) -> None:
+                    dim: int | None = None, nbits: int = 4,
+                    centroids: "np.ndarray | None" = None,
+                    spherical: bool = False) -> None:
     """Materialize the ANN 'index': the table partitioned on disk by the
     IVF cell, with the hyperplane-LSH bucket as a stored column.
 
     At 10^12 rows this is what makes a probe cheap: the IVF partition
     column prunes the scan to ~1/2^nbits of the files (verified by
     PartitionFilters in the probe plan), and the stored LSH bucket narrows
-    further without recomputing signatures."""
-    out = (with_lsh_bucket(df, vec_col, n_planes, seed, dim)
-           .withColumn("ivf_cell", ivf_bucket(F.col(vec_col), nbits)))
+    further without recomputing signatures.
+
+    With ``centroids`` (from ``train_ivf_centroids``) the partition
+    column is the TRAINED k-means cell instead of the sign-quadrant one
+    — better-balanced cells on clustered data — and the centroids are
+    persisted in a tiny sidecar table next to the index, so a probe
+    (``ivf_topk_trained_indexed``) ranks cells without retraining and
+    scans only ``nprobe`` partition directories.  ``spherical`` must
+    match how the centroids were trained; it is stored in the sidecar
+    and re-applied at probe time."""
+    out = with_lsh_bucket(df, vec_col, n_planes, seed, dim)
+    if centroids is None:
+        out = out.withColumn("ivf_cell", ivf_bucket(F.col(vec_col), nbits))
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+        out = out.withColumn(
+            "ivf_cell",
+            ivf_cell_trained(F.col(vec_col), C, spherical=spherical))
+        meta = df.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in c], bool(spherical))
+             for i, c in enumerate(C)],
+            "cell int, centroid array<double>, spherical boolean")
+        meta.coalesce(1).write.mode("overwrite") \
+            .parquet(_centroid_sidecar(path))
     out.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def _centroid_sidecar(path: str) -> str:
+    return path.rstrip("/") + "__centroids"
+
+
+def load_ann_centroids(spark, path: str) -> "tuple[np.ndarray, bool]":
+    """(centroids, spherical) persisted by ``write_ann_index``; k rows."""
+    rows = sorted(spark.read.parquet(_centroid_sidecar(path)).collect(),
+                  key=lambda r: r["cell"])
+    if not rows:
+        raise ValueError(f"no centroid sidecar at {path}")
+    return (np.asarray([r["centroid"] for r in rows], dtype=np.float64),
+            bool(rows[0]["spherical"]))
 
 
 def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
@@ -449,11 +486,36 @@ def ivf_topk_trained(df: DataFrame, query: list[float],
     normalizes the query before ranking cells, so cell choice agrees
     with the cosine rescoring metric."""
     C = np.asarray(centroids, dtype=np.float64)
+    cells = rank_trained_cells(query, C, nprobe, spherical)
+    cands = df.where(
+        ivf_cell_trained(F.col(vec_col), C, spherical=spherical).isin(cells))
+    return cosine_topk(cands, query, k, id_col, vec_col)
+
+
+def rank_trained_cells(query: list[float], centroids: "np.ndarray",
+                       nprobe: int, spherical: bool) -> list[int]:
+    """The ``nprobe`` trained cells nearest the query (driver-side: k·d
+    floats, deterministic stable order)."""
+    C = np.asarray(centroids, dtype=np.float64)
     q = np.asarray(query, dtype=np.float64)
     if spherical:
         q = q / max(float(np.sqrt((q ** 2).sum())), 1e-12)
     order = np.argsort(((C - q[None, :]) ** 2).sum(axis=1), kind="stable")
-    cells = [int(i) for i in order[:nprobe]]
-    cands = df.where(
-        ivf_cell_trained(F.col(vec_col), C, spherical=spherical).isin(cells))
-    return cosine_topk(cands, query, k, id_col, vec_col)
+    return [int(i) for i in order[:nprobe]]
+
+
+def ivf_topk_trained_indexed(spark, path: str, query: list[float],
+                             k: int = 10, nprobe: int = 1,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Probe a trained-cell materialized index: load the k·d centroid
+    sidecar on the driver, rank cells, and scan ONLY the ``nprobe``
+    nearest cell directories — the ``ivf_cell`` isin predicate is a
+    PARTITION filter, so at 10^12 rows the probe touches ~nprobe/k of
+    the files instead of re-evaluating the k·d quantizer expression over
+    the full table (which is what ``ivf_topk_trained`` does without an
+    index)."""
+    C, spherical = load_ann_centroids(spark, path)
+    cells = rank_trained_cells(query, C, nprobe, spherical)
+    df = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    return cosine_topk(df, query, k, id_col, vec_col)

@@ -242,6 +242,42 @@ def test_kmeans_partials_shape(spark):
     assert text.count("Exchange") == 1, text     # one shuffle for the agg
 
 
+def test_trained_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """The trained-k-means materialized index scans ONLY the nprobe
+    nearest cell directories (PartitionFilters on ivf_cell — no full-table
+    quantizer re-evaluation) and agrees with the unindexed trained probe."""
+    import numpy as np
+    from sdk_spark.operators.similarity import (
+        ivf_topk_trained,
+        ivf_topk_trained_indexed,
+        load_ann_centroids,
+        train_ivf_centroids,
+        write_ann_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    C = train_ivf_centroids(df, k=4, iters=3, spherical=True)
+    path = str(tmp_path / "ann_trained")
+    write_ann_index(df, path, n_planes=6, dim=8, centroids=C,
+                    spherical=True)
+
+    query = [1.0, -1.0] + [0.0] * 6
+    probe = ivf_topk_trained_indexed(spark, path, query, k=5, nprobe=2)
+    text = _plan(probe)
+    assert re.search(r"PartitionFilters: \[.*ivf_cell.*\]", text), text
+    assert "Python" not in text, text
+    got = [r["vec_id"] for r in probe.collect()]
+    exact = [r["vec_id"] for r in
+             ivf_topk_trained(df, query, C, k=5, nprobe=2,
+                              spherical=True).collect()]
+    assert got == exact
+    # sidecar round-trips the trained quantizer
+    C2, sph = load_ann_centroids(spark, path)
+    assert sph and np.allclose(C2, C)
+
+
 def test_trained_ivf_probe_prunes_to_isin(spark):
     """The trained-cell probe is a plain Filter over a literal isin — no
     join against a centroid table, no Python."""
