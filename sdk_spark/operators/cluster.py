@@ -83,13 +83,27 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
          .where(F.col("u").isNotNull() & F.col("v").isNotNull()
                 & (F.col("u") != F.col("v")))
          .distinct())
+
+    # Iterative lineage must be truncated each round or the plan grows
+    # unboundedly.  localCheckpoint keeps blocks on EXECUTORS — fast, but
+    # one lost executor kills the job unrecoverably mid-iteration.  When
+    # the session has a reliable checkpoint dir configured
+    # (sc.setCheckpointDir on HDFS/S3 — the production setting), use
+    # reliable checkpoint() so the fixpoint survives executor loss; fall
+    # back to localCheckpoint otherwise (local[-] dev / tests).
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     if checkpoint:
-        e = e.localCheckpoint(eager=True)
+        e = _truncate(e)
     prev = None
     for _ in range(max_rounds):
         e = _small_star(_large_star(e))
         if checkpoint:
-            e = e.localCheckpoint(eager=True)
+            e = _truncate(e)
         fp = e.agg(F.count(F.lit(1)).alias("n"),
                    F.bit_xor(F.xxhash64("u", "v")).alias("h")).first()
         cur = (fp["n"], fp["h"])

@@ -100,3 +100,31 @@ def test_cc_no_convergence_raise(spark):
 def test_cc_empty(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).count() == 0
+
+
+def test_cc_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """With sc.setCheckpointDir set (the production configuration), the
+    fixpoint rounds use RELIABLE checkpoint() — files appear under the
+    checkpoint dir, so a lost executor cannot kill the iteration — and
+    the labeling is unchanged."""
+    import os
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 5), (7, 8), (8, 9), (9, 1)],
+            "id_a long, id_b long")
+        got = {(r["id"], r["cluster_id"])
+               for r in connected_components(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (3, 1), (7, 1), (8, 1), (9, 1),
+                       (4, 4), (5, 4)}
+        found = [f for _, _, files in os.walk(ckdir) for f in files]
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # pyspark has no unset API; clear the scala Option directly so
+        # other tests sharing the session fall back to localCheckpoint
+        scala_none = getattr(getattr(sc._jvm.scala, "None$"), "MODULE$")
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(scala_none)
+    assert sc.getCheckpointDir() is None
