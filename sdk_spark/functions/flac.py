@@ -3,17 +3,19 @@
 Decode: ``fLaC`` container (STREAMINFO + skipped metadata blocks), frame
 headers (sync, block size / sample rate / sample size tables, UTF-8-coded
 frame number, CRC-8 verified), all four channel assignments (independent,
-left/side, right/side, mid/side), and CONSTANT / VERBATIM / FIXED(0-4)
+left/side, right/side, mid/side), and CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32)
 subframes with partitioned Rice residuals (both 4- and 5-bit parameter
-forms, escape code included).  Frame CRC-16 is verified.  LPC subframes —
-the encoder-side optimization half of the spec — raise
-``NotImplementedError`` by name, keeping the module's honest-subset
-contract: everything a *fixed-predictor* encoder (the common fast preset)
-emits decodes bit-exactly.
+forms, escape code included).  Frame CRC-16 is verified.  LPC prediction
+uses exact integer arithmetic (Python ints — the coefficient dot product
+can exceed int64 before the shift) with the spec's arithmetic right
+shift, so real-world FLAC (overwhelmingly LPC-coded) decodes
+sample-exactly.
 
 Encode: verbatim-subframe frames (spec-legal, used by every FLAC
-implementation as the incompressible fallback) with correct CRC-8/CRC-16
-— enough to plant real FLAC fixtures and round-trip losslessly.
+implementation as the incompressible fallback) and quantized-LPC
+subframes (Levinson-Durbin + error-feedback quantization, Rice-coded
+residuals) with correct CRC-8/CRC-16 — enough to plant real FLAC
+fixtures and round-trip losslessly.
 """
 
 from __future__ import annotations
@@ -114,6 +116,11 @@ def _rice_residuals(b: _Bits, n: int, predictor_order: int) -> list[int]:
     escape = (1 << pbits) - 1
     porder = b.read(4)
     parts = 1 << porder
+    if n % parts:
+        # spec: the block size must be divisible by 2^partition_order;
+        # decoding anyway would under-read residuals and desync the
+        # bitstream into a confusing downstream sync/CRC error
+        raise ValueError("FLAC block size not divisible by partition count")
     out: list[int] = []
     for p in range(parts):
         count = n // parts - (predictor_order if p == 0 else 0)
@@ -155,10 +162,26 @@ def _subframe(b: _Bits, n: int, bps: int) -> np.ndarray:
         for i in range(order, n):
             pred = sum(c * out[i - 1 - k] for k, c in enumerate(coefs))
             out[i] = resid[i - order] + pred
-    elif sf_type >= 32:
-        raise NotImplementedError(
-            f"FLAC LPC subframe (order {sf_type - 31}) not supported "
-            f"(fixed-predictor subset)")
+    elif sf_type >= 32:                                 # LPC order 1-32
+        order = sf_type - 31
+        warm = [b.read_signed(eff) for _ in range(order)]
+        prec = b.read(4)
+        if prec == 15:
+            raise ValueError("invalid FLAC LPC coefficient precision")
+        prec += 1
+        shift = b.read_signed(5)
+        if shift < 0:
+            # spec reserves negative shifts; real encoders never emit them
+            raise ValueError("negative FLAC LPC shift")
+        coefs = [b.read_signed(prec) for _ in range(order)]
+        resid = _rice_residuals(b, n, order)
+        # Python ints: the coef*sample dot product can exceed int64 for
+        # 32-bit samples at precision 15 before the shift
+        vals: list[int] = list(warm)
+        for i in range(order, n):
+            pred = sum(c * vals[i - 1 - k] for k, c in enumerate(coefs))
+            vals.append(resid[i - order] + (pred >> shift))
+        out = np.array(vals, dtype=np.int64)
     else:
         raise ValueError(f"reserved FLAC subframe type {sf_type}")
     return out << wasted if wasted else out
@@ -271,9 +294,92 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     return arr / float(1 << (bps - 1)), rate
 
 
+def _levinson_durbin(x: np.ndarray, order: int) -> list[float]:
+    """LPC coefficients (prediction: sum a_k * x[i-1-k]) via
+    Levinson-Durbin on the windowed autocorrelation."""
+    xf = x.astype(np.float64)
+    n = len(xf)
+    ac = np.array([float(np.dot(xf[: n - k], xf[k:]))
+                   for k in range(order + 1)])
+    if ac[0] == 0.0:
+        return [0.0] * order
+    err = ac[0]
+    a = np.zeros(order)
+    for i in range(order):
+        acc = ac[i + 1] - float(np.dot(a[:i], ac[i:0:-1][:i]))
+        k = acc / err if err > 0 else 0.0
+        a[:i], a[i] = a[:i] - k * a[i::-1][1:i + 1], k
+        err *= max(1.0 - k * k, 1e-9)
+    return [float(v) for v in a]
+
+
+def _quantize_lpc(coefs: list[float], prec: int) -> tuple[list[int], int]:
+    """Scale float LPC coefficients into ``prec``-bit ints + shift, with
+    error feedback (the spec's recommended quantization)."""
+    import math
+
+    cmax = max((abs(c) for c in coefs), default=0.0)
+    if cmax <= 0:
+        return [0] * len(coefs), 0
+    shift = max(0, min(15, prec - 2 - int(math.floor(math.log2(cmax)))))
+    lim = 1 << (prec - 1)
+    out, e = [], 0.0
+    for c in coefs:
+        v = c * (1 << shift) + e
+        q = max(-lim, min(lim - 1, int(round(v))))
+        e = v - q
+        out.append(q)
+    return out, shift
+
+
+def _signed_bits(vals: list[int]) -> int:
+    """Smallest two's-complement width holding every value (>=1)."""
+    need = 1
+    for v in vals:
+        w = v.bit_length() + 1
+        need = max(need, w)
+    return min(need, 31)
+
+
+def _write_rice(w, resid: list[int]) -> None:
+    """Residual block: method 0 (4-bit params), partition order 0.
+    Escape (verbatim raw bits) when the Rice unary runs would blow up."""
+    zz = [(v << 1) if v >= 0 else ((-v << 1) - 1) for v in resid]
+    mean = (sum(zz) / len(zz)) if zz else 0.0
+    param = 0
+    while param < 14 and (1 << (param + 1)) < mean + 1:
+        param += 1
+    total_unary = sum(z >> param for z in zz)
+    w.w(0, 2)                                           # method 0
+    w.w(0, 4)                                           # partition order 0
+    if total_unary > 8 * len(zz) + 1024:                # pathological
+        raw = _signed_bits(resid)
+        w.w(15, 4)                                      # escape
+        w.w(raw, 5)
+        for v in resid:
+            w.w(v & ((1 << raw) - 1), raw)
+        return
+    w.w(param, 4)
+    for z in zz:
+        q = z >> param
+        for _ in range(q):
+            w.w(0, 1)
+        w.w(1, 1)
+        if param:
+            w.w(z & ((1 << param) - 1), param)
+
+
 def encode_flac(samples: np.ndarray, sample_rate: int = 16000,
-                block_size: int = 4096) -> bytes:
-    """Verbatim-subframe FLAC encoder (lossless; fixture planting)."""
+                block_size: int = 4096, lpc_order: int | None = None,
+                lpc_precision: int = 12) -> bytes:
+    """Lossless FLAC encoder for fixture planting.
+
+    Default: verbatim subframes (the incompressible fallback every
+    encoder supports).  With ``lpc_order`` (1-32): real LPC subframes —
+    Levinson-Durbin coefficients quantized to ``lpc_precision`` bits,
+    integer residuals computed with the *identical* predictor the
+    decoder runs (so the round trip is bit-exact by construction),
+    Rice-coded with the standard unary/binary path (escape fallback)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     if samples.dtype != np.int16:
@@ -337,10 +443,30 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000,
         w.w(_crc8(hdr), 8)
         for c in range(ch):
             w.w(0, 1)
-            w.w(1, 6)                                   # VERBATIM
-            w.w(0, 1)                                   # no wasted bits
-            for v in blk[:, c]:
-                w.w(int(v) & 0xFFFF, 16)
+            xs = [int(v) for v in blk[:, c]]
+            if lpc_order and 1 <= lpc_order <= 32 and bn > lpc_order:
+                order = lpc_order
+                qc, shift = _quantize_lpc(
+                    _levinson_durbin(blk[:, c], order), lpc_precision)
+                w.w(32 + order - 1, 6)                  # LPC(order)
+                w.w(0, 1)                               # no wasted bits
+                for v in xs[:order]:                    # warm-up
+                    w.w(v & 0xFFFF, 16)
+                w.w(lpc_precision - 1, 4)
+                w.w(shift & 0x1F, 5)
+                for q in qc:
+                    w.w(q & ((1 << lpc_precision) - 1), lpc_precision)
+                resid = []
+                for i in range(order, bn):
+                    pred = sum(q * xs[i - 1 - k]
+                               for k, q in enumerate(qc)) >> shift
+                    resid.append(xs[i] - pred)
+                _write_rice(w, resid)
+            else:
+                w.w(1, 6)                               # VERBATIM
+                w.w(0, 1)                               # no wasted bits
+                for v in xs:
+                    w.w(v & 0xFFFF, 16)
         w.align()
         body = bytes(w.buf)
         out += body + _crc16(body).to_bytes(2, "big")

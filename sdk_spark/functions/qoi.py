@@ -112,10 +112,17 @@ def decode_qoi(payload: bytes, return_alpha: bool = False) -> np.ndarray:
             raise ValueError("QOI stream truncated before all pixels")
         byte = data[pos]
         pos += 1
+        # operand bytes are bounds-checked against the end marker too:
+        # a chunk whose operands are truncated must raise, not silently
+        # consume the 0x00 end-marker bytes as pixel data
         if byte == 0xFE:                      # RGB
+            if pos + 3 > end:
+                raise ValueError("QOI RGB chunk truncated")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif byte == 0xFF:                    # RGBA
+            if pos + 4 > end:
+                raise ValueError("QOI RGBA chunk truncated")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -128,6 +135,8 @@ def decode_qoi(payload: bytes, return_alpha: bool = False) -> np.ndarray:
                 b = (b + (byte & 3) - 2) % 256
             elif tag == 2:                    # LUMA
                 dg = (byte & 0x3F) - 32
+                if pos + 1 > end:
+                    raise ValueError("QOI LUMA chunk truncated")
                 nxt = data[pos]
                 pos += 1
                 r = (r + dg + ((nxt >> 4) & 0xF) - 8) % 256

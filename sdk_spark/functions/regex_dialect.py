@@ -12,6 +12,7 @@ to the Arrow-batched Python fallback (``python_regex_match``) instead.
 """
 
 import re
+import warnings
 
 import pandas as pd
 
@@ -41,8 +42,18 @@ def _scan_tokens(pattern: str):
 
 
 def python_compile(pattern: str) -> "re.Pattern":
-    """Compile under the reference dialect; raises ``re.error`` if invalid."""
-    return re.compile(pattern)
+    """Compile under the reference dialect; raises ``re.error`` if invalid.
+
+    Patterns like ``[[...]]`` make CPython warn that nested-set/set-
+    intersection semantics may change in a future release; today they
+    compile as literals, so the probe suppresses the FutureWarning here
+    (a single compile-time site) rather than letting every executor log
+    it — and ``java_safe`` independently routes such patterns to the
+    Python fallback so a future semantic change cannot silently diverge
+    between engines."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", FutureWarning)
+        return re.compile(pattern)
 
 
 def java_safe(pattern: str) -> bool:

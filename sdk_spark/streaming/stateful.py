@@ -148,7 +148,14 @@ def streaming_sessions(stream_df: DataFrame, key_col: str,
     Exactly the batch operator's boundary rule (gap STRICTLY greater
     than the threshold starts a new session, exact-microsecond compare),
     so a backfill with ``sessionize`` and the live stream agree on every
-    boundary decision.
+    boundary decision — PROVIDED each key's events arrive time-ordered
+    across micro-batches.  Within a micro-batch events are sorted, and a
+    late in-gap event arriving in a later batch extends the open
+    session's start/end envelope (``min``/``max``), but an old event
+    that should retroactively split, predate, or reopen an already-
+    closed session cannot be replayed — that is inherent to single-pass
+    streaming state; use the batch operator for exact backfills of
+    out-of-order history.
     """
     gap_us = int(gap_minutes * 60_000_000)
     slim = stream_df.select(
@@ -178,7 +185,10 @@ def streaming_sessions(stream_df: DataFrame, key_col: str,
                 out.append((key[0], cur[0], cur[1], cur[2], True))
                 cur = (us, us, 1)
             else:
-                cur = (cur[0], max(cur[1], us), cur[2] + 1)
+                # min() too: a late out-of-order event landing inside
+                # the gap of the open session must widen its start, not
+                # silently inherit a later session_start
+                cur = (min(cur[0], us), max(cur[1], us), cur[2] + 1)
         if cur is not None:
             state.update(cur)
             state.setTimeoutDuration(gap_us // 1000 or 1)

@@ -118,18 +118,99 @@ def test_crc_corruption_fails_closed():
         decode_flac(bytes(payload))
 
 
-def test_lpc_raises_by_name():
-    # hand-build a frame whose first subframe type is LPC order 1 (0x20)
-    payload = bytearray(encode_flac(tone(300), block_size=256))
-    # find first frame: after metadata (4 + 4 + 34)
-    frame = 42
-    # subframe header starts right after the 4-byte-aligned frame header;
-    # easier: decode normally works, so instead patch the subframe type
-    # byte (first byte after header CRC): locate via known header length
-    # 14+1+1+4+4+4+3+1 bits = 4 bytes, + 1 utf8 + 2 blocksize + 1 rate + 1 crc
-    sub0 = frame + 4 + 1 + 2 + 1 + 1
-    payload[sub0] = 0x40                   # 0 pad + type 0x20 (LPC o1) + 0
-    with pytest.raises((NotImplementedError, ValueError)):
+def build_lpc_stream(samples, coefs, shift, prec=12, param=4):
+    """Hand-encode ONE frame with an LPC(len(coefs)) subframe around
+    KNOWN quantized coefficients — independent of the library's encoder,
+    so decoder correctness is checked against a straight-line Python
+    recurrence, not a round trip."""
+    order = len(coefs)
+    n = len(samples)
+    info = bytearray(34)
+    info[0:2] = info[2:4] = n.to_bytes(2, "big")
+    packed = (8000 << 12) | (0 << 9) | (15 << 4)
+    info[10:14] = packed.to_bytes(4, "big")
+    info[14:18] = n.to_bytes(4, "big")
+    out = bytearray(b"fLaC") + bytes([0x80]) + (34).to_bytes(3, "big") + info
+
+    w = _W()
+    w.w(0x3FFE, 14); w.w(0, 1); w.w(0, 1)
+    w.w(7, 4); w.w(12, 4); w.w(0, 4); w.w(4, 3); w.w(0, 1)
+    w.w(0, 8)
+    w.w(n - 1, 16)
+    w.w(8, 8)
+    hdr = bytes(w.buf)
+    w.w(_crc8(hdr), 8)
+    # subframe: LPC(order)
+    w.w(0, 1); w.w(32 + order - 1, 6); w.w(0, 1)
+    for s in samples[:order]:
+        w.w(int(s) & 0xFFFF, 16)
+    w.w(prec - 1, 4)
+    w.w(shift & 0x1F, 5)
+    for c in coefs:
+        w.w(c & ((1 << prec) - 1), prec)
+    w.w(0, 2); w.w(0, 4); w.w(param, 4)
+    for i in range(order, n):
+        pred = sum(c * int(samples[i - 1 - k])
+                   for k, c in enumerate(coefs)) >> shift
+        resid = int(samples[i]) - pred
+        zz = (resid << 1) if resid >= 0 else ((-resid) << 1) - 1
+        q, r = zz >> param, zz & ((1 << param) - 1)
+        w.w(0, q); w.w(1, 1)
+        w.w(r, param)
+    w.align()
+    body = bytes(w.buf)
+    return bytes(out) + body + _crc16(body).to_bytes(2, "big")
+
+
+@pytest.mark.parametrize("coefs,shift", [
+    ([1024], 10),                       # x[i-1] predictor
+    ([1638, -614], 10),                 # damped second-order
+    ([1500, 700, -300, 100], 11),
+])
+def test_lpc_subframe_decodes_exactly(coefs, shift):
+    rng = np.random.RandomState(len(coefs))
+    base = np.cumsum(rng.randint(-15, 16, 96)).astype(np.int64) + 50
+    payload = build_lpc_stream(base, coefs, shift)
+    arr, rate = decode_flac(payload)
+    assert rate == 8000
+    assert np.array_equal(to_i16(arr)[:, 0].astype(np.int64), base)
+
+
+@pytest.mark.parametrize("order", [1, 2, 8, 16, 32])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_lpc_encoder_roundtrip(order, ch):
+    data = tone(3000, ch=ch)
+    blob = encode_flac(data, 16000, block_size=1024, lpc_order=order)
+    arr, rate = decode_flac(blob)
+    want = data[:, None] if data.ndim == 1 else data
+    assert rate == 16000
+    assert np.array_equal(to_i16(arr), want)
+    # LPC actually engaged and compressed vs verbatim
+    verb = encode_flac(data, 16000, block_size=1024)
+    assert len(blob) < len(verb)
+
+
+def test_lpc_noise_roundtrip_exact():
+    """Incompressible input: Rice params go high / escape may engage —
+    the round trip must still be bit-exact."""
+    rng = np.random.RandomState(9)
+    data = rng.randint(-32768, 32768, 2000).astype(np.int16)
+    arr, _ = decode_flac(encode_flac(data, 8000, block_size=512,
+                                     lpc_order=8))
+    assert np.array_equal(to_i16(arr)[:, 0], data)
+
+
+def test_rice_partition_divisibility_fails_closed():
+    """porder that does not divide the block size must raise the precise
+    diagnostic, not desync into a confusing later CRC error."""
+    base = np.cumsum(np.ones(100, dtype=np.int64)) + 3
+    payload = bytearray(build_fixed_stream(base, 0))
+    # locate the rice header: subframe starts after the 9-byte frame
+    # header; FIXED(0) has no warmup, so method/porder bits follow the
+    # subframe header byte. porder lives in bits 2..5 of that byte.
+    sub0 = 42 + 9 + 1          # metadata(42) + frame header(9) + subframe hdr
+    payload[sub0] = (payload[sub0] & 0b11000011) | (3 << 2)  # porder=3
+    with pytest.raises(ValueError, match="divisible"):
         decode_flac(bytes(payload))
 
 

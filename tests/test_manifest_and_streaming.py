@@ -248,3 +248,39 @@ def test_streaming_sessions_stateful(spark, tmp_path):
             "event_id", F.monotonically_increasing_id()),
         gap_minutes=30)
     assert batch.count() == 3                    # 2 sessions for u1 + 1 for u2
+
+
+def test_streaming_sessions_late_in_gap_event_widens_start(spark, tmp_path):
+    """A late out-of-order event arriving in a LATER micro-batch, with a
+    ts inside the open session's gap window, must lower session_start
+    (min-update) — not be folded in with the later start kept."""
+    import datetime as dt
+    import time
+
+    from sdk_spark.streaming.stateful import streaming_sessions
+
+    t0 = dt.datetime(2024, 1, 1)
+    us0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+    src = str(tmp_path / "late_src")
+    spark.createDataFrame([(1, t0 + dt.timedelta(minutes=10))],
+                          "user_id long, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.2)          # distinct mtime -> deterministic file order
+    spark.createDataFrame([(1, t0)], "user_id long, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("user_id long, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_sessions(stream, "user_id", gap_minutes=30)
+    q = (out.writeStream.format("memory").queryName("late_sessions_t")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM late_sessions_t").collect()
+    final = [r for r in rows if r["n_events"] == 2]
+    assert final, rows
+    # NOTE: memory timestamps are tz-naive; compare via the us the
+    # operator computed for t0 itself (first batch emitted start=t0+10m)
+    starts = sorted({r["session_start_us"] for r in rows})
+    assert final[-1]["session_start_us"] == starts[0], rows
+    assert len(starts) == 2 and starts[1] - starts[0] == 600_000_000, rows

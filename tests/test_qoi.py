@@ -72,3 +72,16 @@ def test_decode_image_dispatch_and_transcode():
     a = np.random.RandomState(4).randint(0, 256, (12, 9, 3)).astype(np.uint8)
     assert np.array_equal(decode_image(encode_qoi(a)), a)
     assert np.array_equal(decode_image(encode_image(a, "qoi")), a)
+
+
+@pytest.mark.parametrize("chunk", [b"\xFE\x10\x20",       # RGB, 1 operand short
+                                   b"\xFF\x10\x20\x30",   # RGBA, 1 short
+                                   b"\x80"])              # LUMA, operand missing
+def test_truncated_chunk_operands_fail_closed(chunk):
+    """Operand bytes truncated against the end marker must raise, not
+    silently consume the 0x00 end-marker bytes as pixel data."""
+    hdr = b"qoif" + (1).to_bytes(4, "big") + (1).to_bytes(4, "big") \
+        + bytes([3, 0])
+    bad = hdr + chunk + b"\x00" * 7 + b"\x01"
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi(bad)
