@@ -257,6 +257,102 @@ def q_json_props_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "constraint_id"))
 
 
+def q_json_array_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 compound keywords over runtime JSON: items / minItems /
+    maxItems / contains / minContains / maxContains through the Arrow
+    kernel.  The JSON documents are built deterministically from events
+    columns (tags = event_type repeated floor(value%4) times, vals =
+    three digits of k), so the DuckDB twin recomputes every violation —
+    including per-element paths like '#/tags[1]' — from the raw columns.
+    Reference parity: instance_validator.py:926-985 (array addins)."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    n = F.floor(F.col("value") % 4).cast("int")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    doc = F.to_json(F.struct(
+        F.array_repeat(F.col("event_type"), n).alias("tags"),
+        F.array(k % 10, (k / 10).cast("int") % 10, (k * 7) % 10)
+        .alias("vals")))
+    df = ev.select("event_id", doc.alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/arr", "name": "Arr",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {
+            "tags": {"type": "array", "items": {"type": "string",
+                                                "maxLength": 5},
+                     "minItems": 1, "maxItems": 2},
+            "vals": {"type": "array", "items": {"type": "int32"},
+                     "contains": {"type": "int32", "minimum": 5},
+                     "minContains": 1, "maxContains": 2}},
+        "required": ["tags", "vals"],
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
+def q_json_oneof_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 oneOf over runtime JSON: two overlapping bands (k<=30,
+    25<=k<=60) produce both failure modes — double-match in the overlap
+    and zero-match above 60.  Reference parity:
+    instance_validator.py:798-805 (oneOf count)."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    df = ev.select("event_id", F.to_json(F.struct(k.alias("k"))).alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/one", "name": "One",
+        "$uses": ["JSONStructureConditionalComposition",
+                  "JSONStructureValidation"],
+        "type": "object",
+        "properties": {"k": {"type": "int32"}}, "required": ["k"],
+        "oneOf": [
+            {"type": "object",
+             "properties": {"k": {"type": "int32", "maximum": 30}}},
+            {"type": "object",
+             "properties": {"k": {"type": "int32", "minimum": 25,
+                                  "maximum": 60}}}],
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
+def q_json_conditional_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 if/then/else + not over runtime JSON: if k>=50 then k<=75
+    else k multipleOf 2, and not k==13.  Pins the branch DIRECTION
+    (if-matched -> then) and that validation keywords fire inside
+    then/else branches — both were silently wrong in the kernel before
+    r4.  Reference parity: instance_validator.py:813-827."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    df = ev.select("event_id", F.to_json(F.struct(k.alias("k"))).alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/cond",
+        "name": "Cond",
+        "$uses": ["JSONStructureConditionalComposition",
+                  "JSONStructureValidation"],
+        "type": "object",
+        "properties": {"k": {"type": "int32"}}, "required": ["k"],
+        "if": {"type": "object",
+               "properties": {"k": {"type": "int32", "minimum": 50}}},
+        "then": {"type": "object",
+                 "properties": {"k": {"type": "int32", "maximum": 75}}},
+        "else": {"type": "object",
+                 "properties": {"k": {"type": "int32", "multipleOf": 2}}},
+        "not": {"type": "object",
+                "properties": {"k": {"type": "int32", "const": 13}}},
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text-analysis operators: token counting + quality features."""
     from sdk_spark.operators.text import quality_features
@@ -621,6 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts": q_distinct_counts,
         "docs_schema_check": q_docs_schema_check,
         "json_props_check": q_json_props_check,
+        "json_array_check": q_json_array_check,
+        "json_oneof_check": q_json_oneof_check,
+        "json_conditional_check": q_json_conditional_check,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "exact_dup_count": q_exact_dup_count,
@@ -759,6 +858,68 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, 'INSTANCE_REQUIRED_PROPERTY_MISSING'
             FROM events WHERE json_extract(props, '$.k') IS NULL
+        """,
+        # items/minItems/maxItems/contains twins recomputed from the raw
+        # columns the JSON docs were built from (incl. per-element paths)
+        "json_array_check": """
+            WITH base AS (
+              SELECT event_id,
+                     CAST(floor(value % 4) AS INT) AS n,
+                     event_type AS et,
+                     CAST(props->>'k' AS INTEGER) AS k
+              FROM events
+            ), vals AS (
+              SELECT event_id,
+                     CAST(k % 10 >= 5 AS INT)
+                     + CAST((k // 10) % 10 >= 5 AS INT)
+                     + CAST((k * 7) % 10 >= 5 AS INT) AS m
+              FROM base
+            )
+            SELECT event_id, 'INSTANCE_MIN_ITEMS' AS constraint_id,
+                   '#/tags' AS path, '0' AS value
+            FROM base WHERE n = 0
+            UNION ALL
+            SELECT event_id, 'INSTANCE_MAX_ITEMS', '#/tags', '3'
+            FROM base WHERE n = 3
+            UNION ALL
+            SELECT b.event_id, 'INSTANCE_STRING_MAX_LENGTH',
+                   '#/tags[' || g.i || ']', '"' || b.et || '"'
+            FROM base b, generate_series(0, 2) AS g(i)
+            WHERE length(b.et) > 5 AND g.i < b.n
+            UNION ALL
+            SELECT event_id, 'INSTANCE_CONTAINS_NONE', '#/vals', NULL
+            FROM vals WHERE m = 0
+            UNION ALL
+            SELECT event_id, 'INSTANCE_MIN_CONTAINS', '#/vals', '0'
+            FROM vals WHERE m = 0
+            UNION ALL
+            SELECT event_id, 'INSTANCE_MAX_CONTAINS', '#/vals', '3'
+            FROM vals WHERE m = 3
+        """,
+        "json_oneof_check": """
+            SELECT event_id,
+                   'INSTANCE_ONE_OF_INVALID_COUNT' AS constraint_id,
+                   '#' AS path,
+                   CASE WHEN k BETWEEN 25 AND 30 THEN '2'
+                        ELSE '0' END AS value
+            FROM (SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+                  FROM events)
+            WHERE (k BETWEEN 25 AND 30) OR k > 60
+        """,
+        "json_conditional_check": """
+            WITH base AS (
+              SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+              FROM events)
+            SELECT event_id, 'INSTANCE_NUMBER_MAXIMUM' AS constraint_id,
+                   '#/then/k' AS path, CAST(k AS VARCHAR) AS value
+            FROM base WHERE k > 75
+            UNION ALL
+            SELECT event_id, 'INSTANCE_NUMBER_MULTIPLE_OF',
+                   '#/else/k', CAST(k AS VARCHAR)
+            FROM base WHERE k < 50 AND k % 2 = 1
+            UNION ALL
+            SELECT event_id, 'INSTANCE_NOT_MATCHED', '#', '{"k": 13}'
+            FROM base WHERE k = 13
         """,
         "text_quality": """
             SELECT doc_id,

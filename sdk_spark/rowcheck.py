@@ -362,11 +362,21 @@ class RowChecker:
             if not self._probe(value, schema["not"], f"{path}/not", depth):
                 out.append(Finding(E.INSTANCE_NOT_MATCHED, path, value))
         if "if" in schema:
-            if not self._probe(value, schema["if"], f"{path}/if", depth):
-                if "else" in schema:
-                    self._node(value, schema["else"], f"{path}/else", out, depth + 1)
-            elif "then" in schema:
-                self._node(value, schema["then"], f"{path}/then", out, depth + 1)
+            # semantics per the reference validate_instance path
+            # (instance_validator.py:817-827): if-matched -> then,
+            # if-failed -> else.  Both branches inherit the root's $uses
+            # like every other composition branch — otherwise validation
+            # keywords inside them (maximum, multipleOf, ...) silently
+            # never fire.
+            if_matched = not self._probe(value, schema["if"],
+                                         f"{path}/if", depth)
+            if if_matched:
+                if "then" in schema:
+                    self._node(value, self._inherit_uses(schema["then"]),
+                               f"{path}/then", out, depth + 1)
+            elif "else" in schema:
+                self._node(value, self._inherit_uses(schema["else"]),
+                           f"{path}/else", out, depth + 1)
 
     # -- validation addin keywords ------------------------------------------------
     def _addins(self, value, schema, path, out, depth) -> None:
