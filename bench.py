@@ -60,6 +60,7 @@ HEADLINE = [
     "dataset_split",
     "vocab_topk",
     "psi_drift",
+    "curate_corpus",
     "image_validate",
 ]
 
@@ -164,6 +165,20 @@ def q_minhash_dedup(spark, sf_dir):
                                    num_hashes=128, bands=16)
 
 
+def q_curate_corpus(spark, sf_dir):
+    """End-to-end corpus build (VERDICT r3 #7): exact dedup -> MinHash
+    near-dup CC resolution -> quality/language gate -> deterministic
+    split -> per-split sequence packing, composed by curate_corpus.
+    The stage overheads (joins between stages, the CC fixpoint over the
+    scaled near-dup copies) only show up when the composition is timed,
+    not the pieces.  report=False: raw pipeline, no audit persists."""
+    from sdk_spark.operators.curate import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out, _ = curate_corpus(docs, jaccard_threshold=0.7, report=False)
+    return out
+
+
 def q_image_validate(spark, img_path):
     """Fused image job: decode (PNG/JPEG/WebP codecs), PSNR + caption
     invariants, compiled constraint plan, uniqueness, verdicts."""
@@ -191,6 +206,7 @@ def main() -> None:
     registry = dict(entrymod.queries())
     registry["validate_full"] = q_validate_full
     registry["minhash_dedup"] = q_minhash_dedup
+    registry["curate_corpus"] = q_curate_corpus
 
     data_dir = ensure_scaled(spark, sf_dir, mult)
     img_path = ensure_images(spark, img_rows) if "image_validate" in names else None
