@@ -175,7 +175,8 @@ def q_curate_corpus(spark, sf_dir):
     from sdk_spark.operators.curate import curate_corpus
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out, _ = curate_corpus(docs, jaccard_threshold=0.7, report=False)
+    out, _ = curate_corpus(docs, jaccard_threshold=0.7, report=False,
+                           num_hashes=128, bands=16)
     return out
 
 

@@ -48,7 +48,8 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
                   max_tokens: int = 2048,
                   weights: dict[str, int] | None = None,
                   report: bool = True,
-                  pack_partitions: int | None = 64
+                  pack_partitions: int | None = 64,
+                  num_hashes: int = 64, bands: int = 16
                   ) -> tuple[DataFrame, list[dict]]:
     """Run the full curation pipeline; returns (curated, stage_report).
 
@@ -86,8 +87,14 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     exact = note("after_exact_dedup",
                  distinct_by_content(df, id_col=id_col, text_col=text_col))
 
+    # num_hashes/bands pass through to the LSH stage: the default 64x16
+    # (4 rows/band) is recall-safe down to low thresholds; at production
+    # thresholds >= 0.7 pass 128/16 (8 rows/band, the bench operating
+    # point) — it admits far fewer false candidates, which is where the
+    # rescoring time goes on boilerplate-heavy corpora
     pairs = near_duplicates_minhash(exact, id_col=id_col, text_col=text_col,
-                                    threshold=jaccard_threshold)
+                                    threshold=jaccard_threshold,
+                                    num_hashes=num_hashes, bands=bands)
     near = note("after_near_dedup",
                 resolve_duplicates(exact, pairs, id_col=id_col))
 
