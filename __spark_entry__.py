@@ -353,6 +353,62 @@ def q_json_conditional_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "constraint_id", "path", "value"))
 
 
+def q_json_map_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 map keywords over runtime JSON: minEntries / maxEntries /
+    keyNames (anchored pattern) / per-value constraints.  Maps are built
+    from events columns (1 entry below k=50, 3 above, one key designed
+    to fail keyNames), so the DuckDB twin recomputes every violation —
+    including per-key paths like '#/m/purchase' — from the raw columns.
+    Reference parity: instance_validator.py map-keyword addins."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    m = F.when(k >= 50,
+               F.create_map(F.col("event_type"), k,
+                            F.lit("extra"), F.lit(1),
+                            F.lit("Bad9"), F.lit(2))) \
+        .otherwise(F.create_map(F.col("event_type"), k))
+    df = ev.select("event_id", F.to_json(F.struct(m.alias("m"))).alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/map", "name": "Map",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {
+            "m": {"type": "map", "values": {"type": "int32", "maximum": 90},
+                  "minEntries": 2, "maxEntries": 2,
+                  "keyNames": {"type": "string",
+                               "pattern": "^[a-z]{4,6}$"}}},
+        "required": ["m"],
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
+def q_json_set_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 uniqueItems over runtime JSON: [k%5, 3k%5, 7k%5] collides
+    exactly when k ≡ 0 (mod 5), giving the DuckDB twin a closed-form
+    duplicate predicate."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    arr = F.array(k % 5, (k * 3) % 5, (k * 7) % 5)
+    df = ev.select("event_id", F.to_json(F.struct(arr.alias("a"))).alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/set", "name": "Set",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {"a": {"type": "array", "items": {"type": "int32"},
+                             "uniqueItems": True}},
+        "required": ["a"],
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text-analysis operators: token counting + quality features."""
     from sdk_spark.operators.text import quality_features
@@ -720,6 +776,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_array_check": q_json_array_check,
         "json_oneof_check": q_json_oneof_check,
         "json_conditional_check": q_json_conditional_check,
+        "json_map_check": q_json_map_check,
+        "json_set_check": q_json_set_check,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "exact_dup_count": q_exact_dup_count,
@@ -895,6 +953,36 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT event_id, 'INSTANCE_MAX_CONTAINS', '#/vals', '3'
             FROM vals WHERE m = 3
+        """,
+        "json_map_check": """
+            WITH base AS (
+              SELECT event_id, event_type AS et,
+                     CAST(props->>'k' AS INTEGER) AS k
+              FROM events)
+            SELECT event_id, 'INSTANCE_MAP_MIN_ENTRIES' AS constraint_id,
+                   '#/m' AS path, '1' AS value
+            FROM base WHERE k < 50
+            UNION ALL
+            SELECT event_id, 'INSTANCE_MAP_MAX_ENTRIES', '#/m', '3'
+            FROM base WHERE k >= 50
+            UNION ALL
+            SELECT event_id, 'INSTANCE_MAP_KEY_INVALID', '#/m', '"Bad9"'
+            FROM base WHERE k >= 50
+            UNION ALL
+            SELECT event_id, 'INSTANCE_MAP_KEY_INVALID', '#/m',
+                   '"' || et || '"'
+            FROM base WHERE NOT regexp_matches(et, '^[a-z]{4,6}$')
+            UNION ALL
+            SELECT event_id, 'INSTANCE_NUMBER_MAXIMUM', '#/m/' || et,
+                   CAST(k AS VARCHAR)
+            FROM base WHERE k > 90
+        """,
+        "json_set_check": """
+            SELECT event_id, 'INSTANCE_SET_DUPLICATE' AS constraint_id,
+                   '#/a' AS path, CAST(NULL AS VARCHAR) AS value
+            FROM (SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+                  FROM events)
+            WHERE k % 5 = 0
         """,
         "json_oneof_check": """
             SELECT event_id,
