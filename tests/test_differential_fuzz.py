@@ -339,3 +339,66 @@ def test_kernel_matches_reference_nested(ref_sdk_session, c):
         f"verdict diverged (engine={'VALID' if mine else 'INVALID'}, "
         f"reference={'VALID' if ref else 'INVALID'})\n"
         f"schema={schema}\ninstance={instance}")
+
+
+@st.composite
+def conditional_case(draw):
+    """(schema, instance) pairs whose schema wraps ONE property in a
+    conditional composition (if/then/else, oneOf, anyOf, allOf, not)
+    with validation addins INSIDE the branches — the region where the
+    r4-fixed kernel bugs (inverted if/then direction, $uses not
+    inherited into then/else) lived undetected by the corpus."""
+    name = draw(st.sampled_from(_NAMES))
+    kind = draw(st.sampled_from(["string", "int32"]))
+
+    def node():
+        if kind == "string":
+            return {"type": "string", **draw(_string_constraints())}
+        return {"type": "int32", **draw(_numeric_constraints("int32"))}
+
+    def branch():
+        return {"type": "object", "properties": {name: node()}}
+
+    schema = {"$schema": META, "$id": "https://fuzz.local/c", "name": "C",
+              "$uses": ["JSONStructureConditionalComposition",
+                        "JSONStructureValidation"],
+              "type": "object", "properties": {name: {"type": kind}}}
+    shape = draw(st.sampled_from(
+        ["if_then", "if_else", "if_then_else",
+         "oneOf", "anyOf", "allOf", "not"]))
+    if shape.startswith("if"):
+        schema["if"] = branch()
+        if "then" in shape:
+            schema["then"] = branch()
+        if "else" in shape:
+            schema["else"] = branch()
+    elif shape == "not":
+        schema["not"] = branch()
+    else:
+        schema[shape] = [branch()
+                         for _ in range(draw(st.integers(1, 3)))]
+    # bias the value toward a (random) branch's constraint boundaries
+    instance = {name: draw(_value_for(node()))}
+    return schema, instance
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(conditional_case())
+def test_kernel_matches_reference_on_conditionals(ref_sdk_session, c):
+    from hypothesis import assume
+
+    schema, instance = c
+    assume(not _bool_as_number(schema, instance))
+    from sdk_spark.rowcheck import RowChecker
+
+    mine = RowChecker(schema, extended=True).check(instance) == []
+    try:
+        ref = _ref_verdict(ref_sdk_session, schema, instance)
+    except TypeError:
+        return          # reference crash region (pinned elsewhere)
+    assert mine == ref, (
+        f"conditional verdict diverged (engine="
+        f"{'VALID' if mine else 'INVALID'}, "
+        f"reference={'VALID' if ref else 'INVALID'})\n"
+        f"schema={schema}\ninstance={instance}")
