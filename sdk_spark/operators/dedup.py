@@ -74,9 +74,13 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str],
     equal, so Catalyst's ReuseExchange cannot deduplicate them.  The
     window count and the aggregation share the same hash partitioning,
     so Catalyst plans a single exchange; the pre-filter bounds every
-    collected array to ``max_bucket_size`` structs (the window streams
-    its count — no unbounded buffer even on a 10M-member boilerplate
-    bucket), and the Generates expand pairs inside whole-stage codegen.
+    collected array to ``max_bucket_size`` structs.  A 10M-member
+    boilerplate bucket does pass through ONE task's WindowExec buffer
+    before being dropped — that buffer is disk-spillable (bounded
+    memory) and the alternative (a separate count aggregate +
+    anti-join) would evaluate the Arrow signature kernel twice, which
+    costs more than streaming the doomed rows once.  The Generates
+    expand pairs inside whole-stage codegen.
     Returns columns ``a``/``b`` as structs of (id, *payload_cols).
     """
     ex = _cap_buckets(exploded, bucket_cols, max_bucket_size)
