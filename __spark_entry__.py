@@ -409,6 +409,41 @@ def q_json_set_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "constraint_id", "path", "value"))
 
 
+def q_json_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 type unions + $defs/$ref over runtime JSON: v alternates
+    int / string / fractional-number by k-band, against a union of two
+    $ref'd members.  Union match is TYPE-first-match (addins inside
+    members are not applied — verified identical in the reference,
+    instance_validator.py:130-144), so only the fractional band
+    mismatches both members.  DuckDB twin reproduces the exact rendered
+    value strings."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    v_json = (F.when(k < 30, k.cast("string"))
+              .when(k < 60, F.concat(F.lit('"'), F.col("event_type"),
+                                     F.lit('"')))
+              .otherwise(F.concat(k.cast("string"), F.lit(".5"))))
+    df = ev.select(
+        "event_id",
+        F.concat(F.lit('{"v": '), v_json, F.lit('}')).alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/uni",
+        "name": "Uni",
+        "$uses": ["JSONStructureValidation"],
+        "$defs": {"SmallInt": {"type": "int32", "maximum": 75},
+                  "ShortStr": {"type": "string", "maxLength": 5}},
+        "type": "object",
+        "properties": {"v": {"type": [{"$ref": "#/$defs/SmallInt"},
+                                      {"$ref": "#/$defs/ShortStr"}]}},
+        "required": ["v"],
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text-analysis operators: token counting + quality features."""
     from sdk_spark.operators.text import quality_features
@@ -778,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_conditional_check": q_json_conditional_check,
         "json_map_check": q_json_map_check,
         "json_set_check": q_json_set_check,
+        "json_union_check": q_json_union_check,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "exact_dup_count": q_exact_dup_count,
@@ -983,6 +1019,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
                   FROM events)
             WHERE k % 5 = 0
+        """,
+        "json_union_check": """
+            SELECT event_id, 'INSTANCE_UNION_NO_MATCH' AS constraint_id,
+                   '#/v' AS path, CAST(k AS VARCHAR) || '.5' AS value
+            FROM (SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+                  FROM events)
+            WHERE k >= 60
         """,
         "json_oneof_check": """
             SELECT event_id,
