@@ -444,6 +444,40 @@ def q_json_union_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "constraint_id", "path", "value"))
 
 
+def q_json_format_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 format keywords (email / ipv4 / uri) over runtime JSON.
+    Validity is decided by CONSTRUCTION (k-band selects a well-formed or
+    deliberately broken string), so the DuckDB twin mirrors the
+    construction bands, not a re-implementation of the format logic.
+    Reference parity: instance_validator.py format addins."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+
+    _ship_package(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    ks = k.cast("string")
+    email = F.when(k % 7 == 0, F.concat(F.lit("u"), ks, F.lit("@@x.com"))) \
+        .otherwise(F.concat(F.lit("u"), ks, F.lit("@x.com")))
+    ip = F.when(k % 5 == 0, F.concat(F.lit("999.0.0."), (k % 250).cast("string"))) \
+        .otherwise(F.concat(F.lit("10.0.0."), (k % 250).cast("string")))
+    uri = F.when(k % 3 == 0, F.concat(F.lit("not a uri "), ks)) \
+        .otherwise(F.concat(F.lit("https://x.com/p"), ks))
+    doc = F.to_json(F.struct(email.alias("email"), ip.alias("ip"),
+                             uri.alias("uri")))
+    df = ev.select("event_id", doc.alias("doc"))
+    schema = {
+        "$schema": META, "$id": "https://sdk-spark.local/fmt", "name": "Fmt",
+        "$uses": ["JSONStructureValidation"],
+        "type": "object",
+        "properties": {"email": {"type": "string", "format": "email"},
+                       "ip": {"type": "string", "format": "ipv4"},
+                       "uri": {"type": "string", "format": "uri"}},
+        "required": ["email", "ip", "uri"],
+    }
+    return (validate_json_column(df, "doc", schema, key_cols=["event_id"])
+            .select("event_id", "constraint_id", "path", "value"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text-analysis operators: token counting + quality features."""
     from sdk_spark.operators.text import quality_features
@@ -814,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_map_check": q_json_map_check,
         "json_set_check": q_json_set_check,
         "json_union_check": q_json_union_check,
+        "json_format_check": q_json_format_check,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "exact_dup_count": q_exact_dup_count,
@@ -1019,6 +1054,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
                   FROM events)
             WHERE k % 5 = 0
+        """,
+        "json_format_check": """
+            WITH base AS (
+              SELECT event_id, CAST(props->>'k' AS INTEGER) AS k
+              FROM events)
+            SELECT event_id, 'INSTANCE_FORMAT_INVALID' AS constraint_id,
+                   '#/email' AS path,
+                   '"u' || k || '@@x.com"' AS value
+            FROM base WHERE k % 7 = 0
+            UNION ALL
+            SELECT event_id, 'INSTANCE_FORMAT_INVALID', '#/ip',
+                   '"999.0.0.' || (k % 250) || '"'
+            FROM base WHERE k % 5 = 0
+            UNION ALL
+            SELECT event_id, 'INSTANCE_FORMAT_INVALID', '#/uri',
+                   '"not a uri ' || k || '"'
+            FROM base WHERE k % 3 = 0
         """,
         "json_union_check": """
             SELECT event_id, 'INSTANCE_UNION_NO_MATCH' AS constraint_id,
