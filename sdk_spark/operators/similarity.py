@@ -18,6 +18,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -165,9 +166,9 @@ def write_ann_index(df: DataFrame, path: str, vec_col: str = "embedding",
         out = out.withColumn("ivf_cell", ivf_bucket(F.col(vec_col), nbits))
     else:
         C = np.asarray(centroids, dtype=np.float64)
-        out = out.withColumn(
-            "ivf_cell",
-            ivf_cell_trained(F.col(vec_col), C, spherical=spherical))
+        # Arrow assignment: indexing 10^12 rows through the k·d HOF
+        # expression would be the bottleneck of the whole build
+        out = assign_cells_arrow(out, C, vec_col, spherical)
         meta = df.sparkSession.createDataFrame(
             [(int(i), [float(x) for x in c], bool(spherical))
              for i, c in enumerate(C)],
@@ -476,19 +477,75 @@ def ivf_cell_trained(vec_col: Column, centroids: "np.ndarray",
     return F.array_min(F.array(*cands)).getField("i")
 
 
+def assign_cells_arrow(df: DataFrame, centroids: "np.ndarray",
+                       vec_col: str = "embedding", spherical: bool = False,
+                       out_col: str = "ivf_cell") -> DataFrame:
+    """Append the nearest-centroid cell id via ONE Arrow pass.
+
+    The n×k distance matrix is one numpy matmul per batch — the same
+    math (V² − 2VCᵀ + C², first-min ties) as the training kernel, so
+    index cells agree with training assignments bit-for-bit.  This is
+    the fast engine: the Catalyst form (``ivf_cell_trained``) expands to
+    k zip_with/aggregate higher-order functions that never enter
+    whole-stage codegen and run ~50-100× slower at production k·d.
+    NULL embeddings get cell -1 (kept, probeable never)."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    c2 = (C ** 2).sum(axis=1)[None, :]
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.IntegerType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vals = list(pdf[vec_col])
+            ok = np.array([v is not None and len(v) == C.shape[1]
+                           for v in vals])
+            cells = np.full(len(vals), -1, dtype=np.int32)
+            if ok.any():
+                V = np.stack([np.asarray(vals[i], dtype=np.float64)
+                              for i in np.flatnonzero(ok)])
+                if spherical:
+                    n = np.sqrt((V ** 2).sum(axis=1))[:, None]
+                    V = V / np.maximum(n, 1e-12)
+                d2 = (V ** 2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2
+                cells[np.flatnonzero(ok)] = d2.argmin(axis=1).astype(np.int32)
+            out = pdf.copy()
+            out[out_col] = cells
+            yield out
+
+    return df.mapInPandas(kernel, schema)
+
+
 def ivf_topk_trained(df: DataFrame, query: list[float],
                      centroids: "np.ndarray", k: int = 10, nprobe: int = 1,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     spherical: bool = False) -> DataFrame:
+                     spherical: bool = False,
+                     engine: str = "arrow") -> DataFrame:
     """IVF probe with trained centroids: visit the ``nprobe`` cells
     nearest to the query (standard recall/cost dial), exact cosine
     rescoring inside them.  ``spherical`` must match training; it also
     normalizes the query before ranking cells, so cell choice agrees
-    with the cosine rescoring metric."""
+    with the cosine rescoring metric.
+
+    ``engine='arrow'`` (default) assigns cells with the numpy matmul
+    kernel; ``'sql'`` keeps the pure-Catalyst expression (slower at
+    production k·d, but JVM-only — used by the plan-shape pins and
+    available where Python workers are undesirable).  Without a
+    materialized index both engines scan the full table once; see
+    ``ivf_topk_trained_indexed`` for the partition-pruned probe."""
     C = np.asarray(centroids, dtype=np.float64)
     cells = rank_trained_cells(query, C, nprobe, spherical)
-    cands = df.where(
-        ivf_cell_trained(F.col(vec_col), C, spherical=spherical).isin(cells))
+    if engine == "arrow":
+        slim = df.select(F.col(id_col), F.col(vec_col))
+        cands = assign_cells_arrow(slim, C, vec_col, spherical) \
+            .where(F.col("ivf_cell").isin(cells))
+    else:
+        cands = df.where(
+            ivf_cell_trained(F.col(vec_col), C,
+                             spherical=spherical).isin(cells))
     return cosine_topk(cands, query, k, id_col, vec_col)
 
 

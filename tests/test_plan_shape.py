@@ -286,8 +286,15 @@ def test_trained_ivf_probe_prunes_to_isin(spark):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     C = np.eye(4, 64)
-    out = ivf_topk_trained(emb, [1.0] + [0.0] * 63, C, k=5, nprobe=2)
+    out = ivf_topk_trained(emb, [1.0] + [0.0] * 63, C, k=5, nprobe=2,
+                           engine="sql")
     text = _plan(out)
     assert "Python" not in text, text
     assert "TakeOrderedAndProject" in text
     assert "Join" not in text
+    # default (arrow) engine: ONE Arrow stage, same result set
+    arrow = ivf_topk_trained(emb, [1.0] + [0.0] * 63, C, k=5, nprobe=2)
+    atext = _plan(arrow)
+    assert atext.count("MapInPandas") == 1, atext
+    assert [r["vec_id"] for r in arrow.collect()] \
+        == [r["vec_id"] for r in out.collect()]
