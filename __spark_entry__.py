@@ -1368,12 +1368,15 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "stratified_sample": """
+            -- full twin of _det_order: coalesce(hash, -1) ranks NULL
+            -- ids first exactly like the engine (documents.doc_id is
+            -- non-null here, but the twin stays faithful)
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
                      row_number() OVER (
                        PARTITION BY lang
-                       ORDER BY ((doc_id % 1000003) * 2654435761)
-                                % 1000000007, doc_id) AS rk
+                       ORDER BY coalesce(((doc_id % 1000003) * 2654435761)
+                                         % 1000000007, -1), doc_id) AS rk
               FROM documents WHERE lang IS NOT NULL
             ) WHERE rk <= 5
         """,

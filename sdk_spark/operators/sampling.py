@@ -41,8 +41,15 @@ _P = 1_000_000_007
 
 
 def _det_order(id_col: str):
-    """Deterministic pseudo-random sort key, expressible in plain SQL."""
-    return ((F.col(id_col) % _KEY_MOD) * F.lit(_KNUTH)) % F.lit(_P)
+    """Deterministic pseudo-random sort key, expressible in plain SQL.
+
+    NULL ids map to -1 (below the [0, _P) hash range) so they rank
+    first — the same position ASC NULLS FIRST gives them in the naive
+    full-sort form — and survive the prefilter (a NULL comparison would
+    silently drop them).  SQL twin: ``coalesce((id % M) * K % P, -1)``.
+    """
+    return F.when(F.col(id_col).isNull(), F.lit(-1)) \
+        .otherwise(((F.col(id_col) % _KEY_MOD) * F.lit(_KNUTH)) % F.lit(_P))
 
 
 def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,

@@ -184,8 +184,14 @@ def _centroid_sidecar(path: str) -> str:
 
 def load_ann_centroids(spark, path: str) -> "tuple[np.ndarray, bool]":
     """(centroids, spherical) persisted by ``write_ann_index``; k rows."""
-    rows = sorted(spark.read.parquet(_centroid_sidecar(path)).collect(),
-                  key=lambda r: r["cell"])
+    try:
+        rows = sorted(spark.read.parquet(_centroid_sidecar(path)).collect(),
+                      key=lambda r: r["cell"])
+    except Exception as exc:  # AnalysisException: sidecar dir absent
+        raise ValueError(
+            f"no centroid sidecar at {path} — was the index written with "
+            f"centroids= (trained)?  The quadrant index is probed with "
+            f"ivf_topk_indexed instead") from exc
     if not rows:
         raise ValueError(f"no centroid sidecar at {path}")
     return (np.asarray([r["centroid"] for r in rows], dtype=np.float64),
@@ -489,8 +495,6 @@ def assign_cells_arrow(df: DataFrame, centroids: "np.ndarray",
     k zip_with/aggregate higher-order functions that never enter
     whole-stage codegen and run ~50-100× slower at production k·d.
     NULL embeddings get cell -1 (kept, probeable never)."""
-    import pandas as pd
-
     C = np.asarray(centroids, dtype=np.float64)
     c2 = (C ** 2).sum(axis=1)[None, :]
     schema = T.StructType(list(df.schema.fields)

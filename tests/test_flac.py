@@ -200,6 +200,18 @@ def test_lpc_noise_roundtrip_exact():
     assert np.array_equal(to_i16(arr)[:, 0], data)
 
 
+def test_encoder_rejects_unencodable_lpc_precision():
+    """precision-1 is a 4-bit field whose 0b1111 value is the spec's
+    invalid sentinel, so 16 would emit a stream our own decoder rejects
+    and 17+ would silently wrap the field — both must fail at encode
+    time (r4 review finding)."""
+    data = np.zeros(512, dtype=np.int16)
+    for prec in (0, 16, 17):
+        with pytest.raises(ValueError, match="precision"):
+            encode_flac(data, 8000, block_size=512, lpc_order=4,
+                        lpc_precision=prec)
+
+
 def test_rice_partition_divisibility_fails_closed():
     """porder that does not divide the block size must raise the precise
     diagnostic, not desync into a confusing later CRC error."""

@@ -119,3 +119,18 @@ def test_spherical_centroids_unit_norm(spark):
     df = planted_df(spark)
     C = train_ivf_centroids(df, k=4, iters=5, spherical=True)
     assert np.allclose(np.sqrt((C ** 2).sum(axis=1)), 1.0)
+
+
+def test_trained_probe_on_untrained_index_is_a_clear_error(spark, tmp_path):
+    """Probing a quadrant-partitioned index (written without centroids=)
+    with the trained probe must raise the explanatory ValueError, not a
+    raw PATH_NOT_FOUND AnalysisException for the absent sidecar
+    (r4 review finding)."""
+    import pytest
+    from sdk_spark.operators.similarity import (
+        ivf_topk_trained_indexed, write_ann_index)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    write_ann_index(emb, path, dim=64)          # untrained: no sidecar
+    with pytest.raises(ValueError, match="sidecar"):
+        ivf_topk_trained_indexed(spark, path, [1.0] + [0.0] * 63, k=5)

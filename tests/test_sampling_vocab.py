@@ -69,6 +69,24 @@ def test_stratified_two_phase_matches_naive_exactly(spark):
     assert got == want
 
 
+def test_stratified_null_ids_rank_first_like_naive(spark):
+    """NULL ids must not be silently dropped by the hash prefilter: the
+    naive full-sort form ranks them first (ASC NULLS FIRST on the order
+    hash), so _det_order maps them to -1 and the two-phase row set
+    agrees — including a stratum big enough that the prefilter is
+    active (r4 review finding)."""
+    rows = [(i, "big") for i in range(2000)] + [(None, "big")] \
+        + [(10_000 + i, "small") for i in range(5)] + [(None, "small")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = stratified_sample(df, "lang", 4).collect()
+    want = naive_sample(spark, df, "lang", 4).collect()
+    assert {(r["doc_id"], r["lang"]) for r in got} \
+        == {(r["doc_id"], r["lang"]) for r in want}
+    # the null-id row is inside the sample of BOTH strata
+    assert {r["lang"] for r in got if r["doc_id"] is None} \
+        == {"big", "small"}
+
+
 def test_stratified_deficiency_guard_still_exact(spark):
     """With a deliberately starved margin (oversample=1, slack=0) the
     prefilter under-selects some strata; the guard's fallback pass must
@@ -91,7 +109,7 @@ def test_stratified_plan_prefilters_before_window(spark):
     text = stratified_sample(df, "lang", 5) \
         ._jdf.queryExecution().executedPlan().toString()
     filt = [ln for ln in text.splitlines()
-            if "1000000007) < CASE WHEN" in ln
+            if "1000000007) END < CASE WHEN" in ln
             and ("Filter" in ln or "Join" in ln)]
     assert filt, text
 

@@ -29,15 +29,16 @@ def make_duck(sf_dir: str):
     return con
 
 
-def pandas_type_kinds(name, fn, spark, sf, con, sql):
+def pandas_type_kinds(sdf, con, sql):
     """STRICT twin of the driver's likely hash path: both result sets
     fetched through pandas (Spark ``toPandas`` / DuckDB ``fetchdf``) and
     compared by per-column dtype kind + exact cell ``repr``.  This is
-    what exposes e.g. DuckDB SUM -> HUGEINT -> float64-in-pandas while
-    Spark emits int64: values print identically but dtypes (and float
-    reprs) differ, which is how rows can value-match yet hash-amber in
-    CORRECTNESS_r{N}.json."""
-    sdf = fn(spark, sf).toPandas()
+    what exposes e.g. DuckDB SUM -> HUGEINT surfacing as float64 OR
+    object-of-int in pandas while Spark emits int64: values can print
+    identically yet dtypes differ, which is how rows value-match but
+    hash-amber in CORRECTNESS_r{N}.json.  ``sdf`` is the (cached) Spark
+    DataFrame so the query is not executed a second time."""
+    sdf = sdf.toPandas()
     odf = con.execute(sql).fetchdf()
     sdf = sdf[sorted(sdf.columns)]
     odf = odf[sorted(odf.columns)]
@@ -45,8 +46,7 @@ def pandas_type_kinds(name, fn, spark, sf, con, sql):
     for c in sdf.columns:
         sk = sdf[c].dtype.kind
         ok = odf[c].dtype.kind if c in odf.columns else "?"
-        # int64 vs (HUGEINT->) float64 or object is exactly the driver bug
-        if sk != ok and {sk, ok} != {"i", "O"}:
+        if sk != ok:
             msgs.append(f"dtype[{c}]: spark={sdf[c].dtype} "
                         f"oracle={odf[c].dtype}")
     svals = sorted(map(repr, sdf.itertuples(index=False, name=None)))
@@ -87,19 +87,26 @@ def main() -> int:
     import __spark_entry__ as m
     con = make_duck(sf)
     qs, oras = m.queries(), m.oracle_sql()
-    fails, no_oracle = [], []
+    fails, no_oracle, ran = [], [], 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
+        sdf = None
         try:
-            sdf = fn(spark, sf)
+            # cache so the strict pandas pass reuses this execution
+            # instead of running the full Spark job a second time
+            sdf = fn(spark, sf).persist()
             scols = sorted(sdf.columns)
             srows = normalize(sdf.collect(), sdf.columns)
         except Exception as e:  # noqa: BLE001
             fails.append((name, f"spark error: {e}"))
+            if sdf is not None:
+                sdf.unpersist()
             continue
         if name not in oras:
             no_oracle.append((name, len(srows)))
+            sdf.unpersist()
             continue
         try:
             cur = con.execute(oras[name])
@@ -108,6 +115,7 @@ def main() -> int:
             ocols = sorted(ocols_raw)
         except Exception as e:  # noqa: BLE001
             fails.append((name, f"duckdb error: {e}"))
+            sdf.unpersist()
             continue
         if scols != ocols:
             fails.append((name, f"schema: spark={scols} oracle={ocols}"))
@@ -120,18 +128,20 @@ def main() -> int:
             fails.append((name, f"hash: first diff at sorted row {diff}: "
                                 f"spark={srows[diff]} oracle={orows[diff]}"))
         else:
-            strict = pandas_type_kinds(name, fn, spark, sf, con,
-                                       oras[name])
+            strict = pandas_type_kinds(sdf, con, oras[name])
             if strict:
                 fails.append((name, f"STRICT: {'; '.join(strict)[:500]}"))
             else:
                 print(f"  OK   {name:28s} {len(srows)} rows")
+        sdf.unpersist()
     for name, n in no_oracle:
         print(f"  --   {name:28s} {n} rows (no oracle)")
     for name, msg in fails:
         print(f"  FAIL {name:28s} {msg}")
-    print(f"{len(qs) - len(fails) - len(no_oracle)} ok, "
-          f"{len(no_oracle)} no-oracle, {len(fails)} FAIL")
+    skipped = len(qs) - ran
+    print(f"{ran - len(fails) - len(no_oracle)} ok, "
+          f"{len(no_oracle)} no-oracle, {len(fails)} FAIL"
+          + (f" ({skipped} not run: name filter)" if skipped else ""))
     spark.stop()
     return 1 if fails else 0
 
