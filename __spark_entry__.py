@@ -827,6 +827,27 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_norm", F.length("text_norm").alias("norm_len"))
 
 
+def q_curate_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline's per-stage audit, driver-checked:
+    every stage (exact dedup -> MinHash-LSH + connected-components
+    near-dedup -> quality/language gate -> split + pack join) is
+    replayed in DuckDB with the same arithmetic — normalized-content
+    keeper groups, brute-force Jaccard over distinct 5-shingles,
+    recursive-CTE components with min-id keepers, and the IEEE-double
+    quality score in the engine's operation order — so the end-to-end
+    composition (not just its pieces) gets a hash-green correctness row.
+    Engine defaults: 64x16 LSH at threshold 0.8, en-only, 0.35 quality."""
+    from sdk_spark.operators.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    out, audit = curate_corpus(docs, languages=("en",), min_quality=0.35,
+                               jaccard_threshold=0.8, max_tokens=2048)
+    out.unpersist()
+    return spark.createDataFrame(
+        [(a["stage"], int(a["rows"])) for a in audit],
+        "stage string, n_rows long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "range_check": q_range_check,
@@ -871,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "psi_drift": q_psi_drift,
         "text_normalize": q_text_normalize,
+        "curate_stage_counts": q_curate_stage_counts,
     }
 
 
@@ -1328,6 +1350,84 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 10000 AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
+        """,
+        "curate_stage_counts": r"""
+            WITH RECURSIVE
+            ex_keep AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN (SELECT min(doc_id) AS doc_id FROM documents
+                    GROUP BY regexp_replace(lower(trim(text)),
+                                            '\s+', ' ', 'g')) k
+                ON d.doc_id = k.doc_id),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([substr(text, i, 5)
+                       for i in range(1, greatest(length(text) - 4, 1) + 1)
+                     ]) AS s
+              FROM ex_keep),
+            prs AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.8),
+            edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+            reach(id, comp) AS (
+              SELECT u, u FROM edges
+              UNION
+              SELECT e.u, r.comp FROM edges e JOIN reach r ON r.id = e.v),
+            clus AS (SELECT id, MIN(comp) AS cluster_id
+                     FROM reach GROUP BY id),
+            near_keep AS (
+              SELECT e.doc_id, e.text FROM ex_keep e
+              LEFT JOIN clus c
+                ON e.doc_id = c.id AND c.id != c.cluster_id
+              WHERE c.id IS NULL),
+            feats AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END AS n_tokens,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS hits_en,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS hits_de,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS hits_fr,
+                len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x IN ('el','la','los','las','es','un','una','que','de','por'))) AS hits_es,
+                len(regexp_extract_all(text, '[一-鿿]')) AS hits_zh,
+                len(regexp_extract_all(text,
+                    '[.,;:!?"''()\[\]{}]'))::DOUBLE /
+                    greatest(length(text), 1) AS punct_ratio,
+                len(regexp_extract_all(text, '[0-9]'))::DOUBLE /
+                    greatest(length(text), 1) AS digit_ratio
+              FROM near_keep),
+            gate AS (
+              SELECT doc_id FROM feats
+              WHERE (CASE
+                       WHEN hits_zh > GREATEST(hits_en, hits_de,
+                                               hits_fr, hits_es) THEN 'zh'
+                       WHEN hits_es > GREATEST(hits_en, hits_de,
+                                               hits_fr) THEN 'es'
+                       WHEN hits_fr > GREATEST(hits_en, hits_de) THEN 'fr'
+                       WHEN hits_de > hits_en THEN 'de'
+                       ELSE 'en' END) = 'en'
+                AND (least(n_tokens / 64.0, 1.0)
+                     + least(hits_en::DOUBLE / greatest(n_tokens, 1) * 5.0,
+                             1.0)
+                     + (1.0 - least((punct_ratio + digit_ratio) * 4.0,
+                                    1.0))) / 3.0 >= 0.35)
+            SELECT 'input' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_rows FROM documents
+            UNION ALL SELECT 'after_exact_dedup',
+                   CAST(count(*) AS BIGINT) FROM ex_keep
+            UNION ALL SELECT 'after_near_dedup',
+                   CAST(count(*) AS BIGINT) FROM near_keep
+            UNION ALL SELECT 'after_quality_lang_gate',
+                   CAST(count(*) AS BIGINT) FROM gate
+            UNION ALL SELECT 'output',
+                   CAST(count(*) AS BIGINT) FROM gate
         """,
         "text_normalize": r"""
             SELECT doc_id,
