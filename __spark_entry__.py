@@ -827,6 +827,43 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_norm", F.length("text_norm").alias("norm_len"))
 
 
+def q_embedding_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED trained-IVF index end-to-end: train, write the
+    index partitioned by k-means cell (+ centroid sidecar), probe via
+    the partition-pruned path, and verify as a driver row that (a) the
+    indexed probe returns exactly the full-scan trained probe's top-10
+    and (b) recall@10 vs exact brute force is >= 0.8.  This is the
+    100-TB probe story (scan nprobe/k of the files) with driver-visible
+    correctness, not just plan pins."""
+    import shutil
+    import tempfile
+
+    from sdk_spark.operators.similarity import (
+        cosine_topk, ivf_topk_trained, ivf_topk_trained_indexed,
+        train_ivf_centroids, write_ann_index)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(emb, k=8, iters=5, spherical=True)
+    query = [float(x) for x in C[0]]
+    k = 10
+    d = tempfile.mkdtemp(prefix="sdk_spark_annidx_")
+    try:
+        write_ann_index(emb, d + "/idx", dim=EMB_DIM, centroids=C,
+                        spherical=True)
+        idx = [r["vec_id"] for r in
+               ivf_topk_trained_indexed(spark, d + "/idx", query, k=k,
+                                        nprobe=2).collect()]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    scan = [r["vec_id"] for r in
+            ivf_topk_trained(emb, query, C, k=k, nprobe=2,
+                             spherical=True).collect()]
+    exact = {r["vec_id"] for r in cosine_topk(emb, query, k=k).collect()}
+    return spark.createDataFrame(
+        [(k, int(idx == scan), int(len(set(idx) & exact) >= 0.8 * k))],
+        "k int, index_matches_scan int, recall_ok int")
+
+
 def q_curate_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation pipeline's per-stage audit, driver-checked:
     every stage (exact dedup -> MinHash-LSH + connected-components
@@ -893,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "text_normalize": q_text_normalize,
         "curate_stage_counts": q_curate_stage_counts,
+        "embedding_ann_indexed": q_embedding_ann_indexed,
     }
 
 
@@ -1350,6 +1388,9 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) / 10000 AS utilization
             FROM st WHERE rn >= 1
             GROUP BY doc_bin
+        """,
+        "embedding_ann_indexed": """
+            SELECT 10 AS k, 1 AS index_matches_scan, 1 AS recall_ok
         """,
         "curate_stage_counts": r"""
             WITH RECURSIVE
