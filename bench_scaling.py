@@ -22,9 +22,11 @@ import sys
 import time
 
 REPO = pathlib.Path(__file__).resolve().parent
-DATA = REPO / ".bench" / "images.parquet"
 ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
 PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
+# row count in the cache key: a stale 4M file must not silently serve an
+# 8M campaign (the early-return made SCALING_ROWS a no-op once cached)
+DATA = REPO / ".bench" / f"images_{ROWS}.parquet"
 CPU_LEVELS = (8, 32)
 
 
