@@ -138,3 +138,54 @@ def test_split_bucket_mixes_strided_keys(spark, stride):
                                         "test": 10})
               .groupBy("split").count().collect()}
     assert set(counts) == {"train", "valid", "test"}, counts
+
+
+def test_pack_rows_matches_pack_sequences_without_splits(spark):
+    """The fused full-row form assigns the identical (bin_id, bin_fill,
+    oversize) as the slim+join form on the same partitioning."""
+    from sdk_spark.operators.packing import pack_rows
+
+    docs = [(i, f"doc {i}", (i * 37) % 90 + 1) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, n_tokens long")
+    slim = {r["id"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+            for r in pack_sequences(df, max_tokens=128,
+                                    num_partitions=4).collect()}
+    full = pack_rows(df, max_tokens=128, num_partitions=4)
+    assert {r["doc_id"]: (r["bin_id"], r["bin_fill"], r["oversize"])
+            for r in full.collect()} == slim
+    # full rows ride through: every input column is still there
+    assert set(full.columns) == {"doc_id", "text", "n_tokens",
+                                 "bin_id", "bin_fill", "oversize"}
+
+
+def test_pack_rows_split_boundary_resets_bins(spark):
+    """With split_col, a bin never mixes splits, budgets hold, and the
+    assignment is deterministic under input repartitioning."""
+    from collections import defaultdict
+
+    from sdk_spark.operators.packing import pack_rows
+
+    docs = [(i, "train" if i % 5 else "valid", (i * 53) % 100 + 1)
+            for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, split string, n_tokens long")
+    out = pack_rows(df, max_tokens=128, num_partitions=4,
+                    split_col="split").collect()
+    by_bin_splits, by_bin_fill = defaultdict(set), defaultdict(int)
+    for r in out:
+        by_bin_splits[r["bin_id"]].add(r["split"])
+        by_bin_fill[r["bin_id"]] += r["n_tokens"]
+    assert all(len(s) == 1 for s in by_bin_splits.values())
+    assert all(tot <= 128 for tot in by_bin_fill.values())
+    again = pack_rows(df.repartition(7), max_tokens=128, num_partitions=4,
+                      split_col="split").collect()
+    assert {r["doc_id"]: r["bin_id"] for r in again} \
+        == {r["doc_id"]: r["bin_id"] for r in out}
+
+
+def test_pack_rows_rejects_colliding_columns(spark):
+    from sdk_spark.operators.packing import pack_rows
+
+    df = spark.createDataFrame([(1, 5, 9)],
+                               "doc_id long, n_tokens long, bin_id long")
+    with pytest.raises(ValueError, match="bin_id"):
+        pack_rows(df)
