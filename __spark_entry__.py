@@ -873,7 +873,16 @@ def q_curate_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE components with min-id keepers, and the IEEE-double
     quality score in the engine's operation order — so the end-to-end
     composition (not just its pieces) gets a hash-green correctness row.
-    Engine defaults: 64x16 LSH at threshold 0.8, en-only, 0.35 quality."""
+    Engine defaults: 64x16 LSH at threshold 0.8, en-only, 0.35 quality.
+
+    Scope note (same dataset-conditional assumption the driver-green
+    minhash_near_dups oracle makes): the oracle's near-dup stage is
+    exact all-pairs Jaccard, the engine's is LSH candidates + Jaccard
+    rescore — equal iff banding recall is 1 on this dataset.  At
+    64x16/J>=0.8 the per-pair miss probability is (1-J^4)^16 ~ 2e-4 and
+    no sf bucket approaches the 1000 cap (verified green at sf0.01 and
+    sf0.001); a future dataset with a just-over-threshold pair the
+    bands miss would fail this row against a correct engine."""
     from sdk_spark.operators.curate import curate_corpus
 
     docs = _t(spark, sf_dir, "documents")
@@ -1393,12 +1402,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 10 AS k, 1 AS index_matches_scan, 1 AS recall_ok
         """,
         "curate_stage_counts": r"""
+            -- whitespace is the EXPLICIT Java-\s class [ \t\n\x0b\f\r]
+            -- everywhere below: the engine's split/regexp_replace run
+            -- Java regex (whose \s includes \x0b) while DuckDB runs RE2
+            -- (whose \s does not), so a bare '\s+' twin would diverge
+            -- on vertical-tab bytes
             WITH RECURSIVE
             ex_keep AS (
               SELECT d.doc_id, d.text FROM documents d
               JOIN (SELECT min(doc_id) AS doc_id FROM documents
                     GROUP BY regexp_replace(lower(trim(text)),
-                                            '\s+', ' ', 'g')) k
+                                            '[ \t\n\x0b\f\r]+', ' ', 'g')) k
                 ON d.doc_id = k.doc_id),
             sh AS (
               SELECT doc_id,
@@ -1427,15 +1441,15 @@ def oracle_sql() -> dict[str, str]:
             feats AS (
               SELECT doc_id,
                 CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(string_split_regex(trim(text), '\s+'))
+                     ELSE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'))
                 END AS n_tokens,
-                len(list_filter(string_split_regex(trim(text), '\s+'),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS hits_en,
-                len(list_filter(string_split_regex(trim(text), '\s+'),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS hits_de,
-                len(list_filter(string_split_regex(trim(text), '\s+'),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS hits_fr,
-                len(list_filter(string_split_regex(trim(text), '\s+'),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('el','la','los','las','es','un','una','que','de','por'))) AS hits_es,
                 len(regexp_extract_all(text, '[一-鿿]')) AS hits_zh,
                 len(regexp_extract_all(text,

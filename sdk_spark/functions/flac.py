@@ -389,8 +389,9 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16000,
     if not 1 <= ch <= 8:
         raise ValueError("FLAC supports 1-8 channels")
     # the subframe header stores precision-1 in 4 bits and 0b1111 is the
-    # spec's invalid sentinel, so only 1-15 are encodable
-    if not 1 <= lpc_precision <= 15:
+    # spec's invalid sentinel, so only 1-15 are encodable; in verbatim
+    # mode (no lpc_order) the argument is unused and not validated
+    if lpc_order and not 1 <= lpc_precision <= 15:
         raise ValueError("FLAC LPC coefficient precision must be 1-15")
     info = bytearray(34)
     info[0:2] = block_size.to_bytes(2, "big")

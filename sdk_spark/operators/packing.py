@@ -103,52 +103,13 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
     is globally sequential (the oracle-checkable configuration); the
     default keeps the input partitioning for scale.
     """
-    if max_tokens <= 0:
-        raise ValueError("max_tokens must be positive")
+    # same state machine as pack_rows (one kernel serves both — a fix to
+    # the subtle bin numbering cannot diverge between the two forms);
+    # this wrapper only fixes the slim (id, tok) projection and names
     slim = df.select(F.col(id_col).alias("id"),
                      F.col(tokens_col).cast("long").alias("tok"))
-    if num_partitions is not None:
-        # hash-partition BY ID (plain repartition(n) is round-robin and
-        # input-partitioning-dependent): same num_partitions -> same
-        # partition contents -> same bins on any cluster
-        slim = slim.repartition(num_partitions, "id") if num_partitions > 1 \
-            else slim.coalesce(1)
-    # id order within each partition lets the kernel stream Arrow batches
-    # with carried (bin, fill) state — no partition-wide buffering
-    slim = slim.sortWithinPartitions("id")
-
-    out_schema = T.StructType([
-        T.StructField("id", slim.schema["id"].dataType),
-        T.StructField("tok", T.LongType()),
-        *PACK_SCHEMA_SUFFIX,
-    ])
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        base = pid << 40
-        bin_no, fill = 0, 0
-        for pdf in batches:
-            rows = []
-            for _id, tok in zip(pdf["id"], pdf["tok"]):
-                tok = int(tok) if tok is not None and not pd.isna(tok) else 0
-                if tok > max_tokens:
-                    # dedicated bin for the oversize doc, then a fresh bin
-                    bin_no += 1
-                    rows.append((_id, tok, base + bin_no, tok, True))
-                    bin_no += 1
-                    fill = 0
-                    continue
-                if fill + tok > max_tokens:
-                    bin_no += 1
-                    fill = 0
-                fill += tok
-                rows.append((_id, tok, base + bin_no, fill, False))
-            yield pd.DataFrame(rows, columns=["id", "tok", "bin_id",
-                                              "bin_fill", "oversize"])
-
-    return slim.mapInPandas(kernel, out_schema)
+    return pack_rows(slim, id_col="id", tokens_col="tok",
+                     max_tokens=max_tokens, num_partitions=num_partitions)
 
 
 def pack_rows(df: DataFrame, id_col: str = "doc_id",

@@ -47,6 +47,14 @@ def _det_order(id_col: str):
     first — the same position ASC NULLS FIRST gives them in the naive
     full-sort form — and survive the prefilter (a NULL comparison would
     silently drop them).  SQL twin: ``coalesce((id % M) * K % P, -1)``.
+
+    Determinism contract: the selection is a total order only when ids
+    are distinct, which an id column is by definition.  Several NULL-id
+    rows in one stratum tie exactly on (-1, NULL); if the cutoff falls
+    among them, which ones are picked is execution-dependent — in this
+    form AND in the naive full sort (any engine tie-breaks row_number
+    arbitrarily on equal keys).  Degenerate-key inputs need a real key
+    first; they are not silently dropped, which was the r4 bug.
     """
     return F.when(F.col(id_col).isNull(), F.lit(-1)) \
         .otherwise(((F.col(id_col) % _KEY_MOD) * F.lit(_KNUTH)) % F.lit(_P))

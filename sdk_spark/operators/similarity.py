@@ -184,10 +184,16 @@ def _centroid_sidecar(path: str) -> str:
 
 def load_ann_centroids(spark, path: str) -> "tuple[np.ndarray, bool]":
     """(centroids, spherical) persisted by ``write_ann_index``; k rows."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = sorted(spark.read.parquet(_centroid_sidecar(path)).collect(),
                       key=lambda r: r["cell"])
-    except Exception as exc:  # AnalysisException: sidecar dir absent
+    except AnalysisException as exc:
+        # ONLY the missing-sidecar case gets the friendly redirect;
+        # corrupt files / runtime failures must surface as themselves
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         raise ValueError(
             f"no centroid sidecar at {path} — was the index written with "
             f"centroids= (trained)?  The quadrant index is probed with "

@@ -210,6 +210,11 @@ def test_encoder_rejects_unencodable_lpc_precision():
         with pytest.raises(ValueError, match="precision"):
             encode_flac(data, 8000, block_size=512, lpc_order=4,
                         lpc_precision=prec)
+    # verbatim mode never writes the precision field, so it is not
+    # validated there — previously-valid calls must stay valid
+    arr, _ = decode_flac(encode_flac(data, 8000, block_size=512,
+                                     lpc_precision=16))
+    assert arr.shape[0] == 512
 
 
 def test_rice_partition_divisibility_fails_closed():
