@@ -560,6 +560,35 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
 
 
+def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH bucket join + exact rescore),
+    oracled against a full O(n²) brute-force cosine join in DuckDB.
+
+    Recall is exact BY CONSTRUCTION at this operating point, the same way
+    the simhash oracle's is: every doc with ``vec_id % 25 == 0`` gets a
+    bit-identical planted copy at ``vec_id + 10_000_000``; identical
+    vectors produce identical hyperplane signs, so every planted pair
+    shares its LSH bucket deterministically and MUST survive the real
+    pipeline (bucket hash, single-exchange pair expansion, exact cosine
+    rescore).  The 0.999 threshold sits far above the organic pairwise
+    maximum (0.513 at sf0.01, measured), so the brute-force oracle returns
+    exactly the planted set while the Spark side still evaluates every
+    organic in-bucket candidate.  Near-threshold LSH recall (where misses
+    are possible) is pinned separately as a recall verdict by
+    ``embedding_ann``."""
+    from sdk_spark.operators.similarity import cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = (emb.where(F.col("vec_id") % 25 == 0)
+               .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
+                       F.col("embedding")))
+    union = emb.select("vec_id", "embedding").unionByName(planted)
+    return cosine_near_duplicates(union, threshold=0.999, n_planes=12,
+                                  dim=EMB_DIM).select(
+        "id_a", "id_b",
+        F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
+
+
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hyperplane-LSH ANN top-k as a CHECKABLE recall verdict.
 
@@ -922,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
+        "cosine_near_dups": q_cosine_near_dups,
         "embedding_ann": q_embedding_ann,
         "embedding_ann_kmeans": q_embedding_ann_kmeans,
         "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -1224,6 +1254,21 @@ def oracle_sql() -> dict[str, str]:
                                       i -> CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END)) DESC,
                      vec_id
             LIMIT 10
+        """,
+        "cosine_near_dups": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000 AS vec_id, embedding
+              FROM embeddings WHERE vec_id % 25 = 0
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6)
+                        AS BIGINT) AS score_e6
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.999
         """,
         "minhash_near_dups": """
             WITH sh AS (
