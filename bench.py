@@ -51,6 +51,7 @@ HEADLINE = [
     "text_quality",
     "lang_id",
     "embedding_topk",
+    "cosine_near_dups",
     "embedding_ann_ivf",
     "embedding_ann_kmeans",
     "phash_near_dups",
