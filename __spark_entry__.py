@@ -583,8 +583,12 @@ def q_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select((F.col("vec_id") + 10_000_000).alias("vec_id"),
                        F.col("embedding")))
     union = emb.select("vec_id", "embedding").unionByName(planted)
+    # max_bucket_size=None: the brute-force oracle is uncapped, so the
+    # Spark side must be too — a capped mega-bucket would silently drop
+    # planted pairs and break the by-construction recall guarantee.
+    # (Cap semantics are pinned separately by test_scale_guards.)
     return cosine_near_duplicates(union, threshold=0.999, n_planes=12,
-                                  dim=EMB_DIM).select(
+                                  dim=EMB_DIM, max_bucket_size=None).select(
         "id_a", "id_b",
         F.round(F.col("score") * 1e6).cast("long").alias("score_e6"))
 
@@ -1262,13 +1266,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id + 10000000 AS vec_id, embedding
               FROM embeddings WHERE vec_id % 25 = 0
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   CAST(round(list_cosine_similarity(
-                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1e6)
-                        AS BIGINT) AS score_e6
-            FROM u a JOIN u b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                                         b.embedding::DOUBLE[]) >= 0.999
+            SELECT id_a, id_b,
+                   CAST(round(sim * 1e6) AS BIGINT) AS score_e6
+            FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]) AS sim
+                  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            WHERE sim >= 0.999
         """,
         "minhash_near_dups": """
             WITH sh AS (

@@ -35,13 +35,23 @@ def cosine(a: Column, b: Column) -> Column:
     return (dot(a, b) / F.greatest(norm(a) * norm(b), F.lit(1e-12))).cast("double")
 
 
+def _dbl_sql(x: float) -> str:
+    """One IEEE double as a SQL fragment. ``%.17e`` round-trips exactly;
+    non-finite values need the string-cast form (a bare ``nan``/``inf``
+    would parse as a column reference)."""
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x in (float("inf"), float("-inf")):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"{x:.17e}"
+
+
 def _as_vec_lit(vec: list[float]) -> Column:
     """Literal ARRAY<DOUBLE> as ONE ``F.expr`` call: per-element ``F.lit``
     costs a py4j round trip each (~0.13 s for a 64-d query, ~1.2 s for a
-    k=8×64 centroid set in ``ivf_cell_trained``), paid per plan build;
-    the ``%.17e`` format round-trips IEEE doubles exactly."""
-    return F.expr("CAST(array(" +
-                  ", ".join(f"{float(x):.17e}" for x in vec) +
+    k=8×64 centroid set in ``ivf_cell_trained``), paid per plan build."""
+    return F.expr("CAST(array(" + ", ".join(_dbl_sql(x) for x in vec) +
                   ") AS ARRAY<DOUBLE>)")
 
 
@@ -72,10 +82,15 @@ def lsh_signature(vec_sql: str, planes: np.ndarray) -> Column:
     inner dot (``zip_with`` then left-fold ``+``) is identical to the old
     per-plane Columns, so bucket ids are bitwise-identical.
 
-    ``vec_sql`` is a SQL fragment evaluating to ``ARRAY<DOUBLE>``.
-    """
+    ``vec_sql`` is a SQL fragment evaluating to ``ARRAY<DOUBLE>``.  It is
+    spliced inside the generated lambdas, so it MUST NOT be (or contain a
+    bare reference to) a column named like a lambda variable — a caller
+    passing ``p`` would dot each plane with itself and silently bucket
+    every row together.  ``with_lsh_bucket`` guarantees this by staging
+    the vector under its own internal name; direct callers should do the
+    same rather than splice user-controlled identifiers."""
     rows = ", ".join(
-        "array(" + ", ".join(f"{x:.17e}" for x in row) + ")"
+        "array(" + ", ".join(_dbl_sql(x) for x in row) + ")"
         for row in planes)
     return F.expr(
         f"aggregate(array({rows}), CAST(0 AS BIGINT), "
@@ -95,9 +110,16 @@ def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding",
             "array columns do not carry a length in the Spark schema and "
             "inferring it would run a driver job over the full table")
     planes = hyperplanes(dim, n_planes, seed)
-    return df.withColumn(
-        "lsh_bucket",
-        lsh_signature(f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", planes))
+    # Stage the vector under an internal name via F.col (which resolves
+    # nested/dotted references and any column name safely) so the SQL
+    # spliced into lsh_signature references only an identifier WE chose —
+    # a user column named like a lambda variable (`p`, `acc`, …) must not
+    # be captured by the generated lambdas.
+    if "__lsh_vec" in df.columns:
+        raise ValueError("with_lsh_bucket: '__lsh_vec' is reserved")
+    staged = df.withColumn("__lsh_vec", F.col(vec_col).cast("array<double>"))
+    return staged.withColumn(
+        "lsh_bucket", lsh_signature("`__lsh_vec`", planes)).drop("__lsh_vec")
 
 
 def lsh_bucket_topk(df: DataFrame, query: list[float], k: int = 10,

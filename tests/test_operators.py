@@ -155,6 +155,59 @@ def test_cosine_near_duplicates(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
 
 
+def test_lsh_bucket_survives_lambda_variable_column_names(spark):
+    """Review regression: the signature SQL splices lambdas (acc, p, x, y,
+    s, v); a vector column NAMED like one of them must not be captured —
+    pre-fix, vec_col='p' dotted each plane with itself (every row in the
+    all-ones bucket) and 'acc' failed analysis."""
+    import numpy as np
+
+    from sdk_spark.operators.similarity import with_lsh_bucket
+
+    rows = [(i, [float(x) for x in np.random.RandomState(i).normal(size=8)])
+            for i in range(40)]
+    ref = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expected = {r["vec_id"]: r["lsh_bucket"]
+                for r in with_lsh_bucket(ref, "embedding", 6, 42, 8).collect()}
+    assert len(set(expected.values())) > 1
+    for bad_name in ("p", "acc", "x", "s"):
+        renamed = ref.withColumnRenamed("embedding", bad_name)
+        got = {r["vec_id"]: r["lsh_bucket"]
+               for r in with_lsh_bucket(renamed, bad_name, 6, 42, 8).collect()}
+        assert got == expected, bad_name
+
+
+def test_lsh_bucket_resolves_nested_vec_col(spark):
+    """vec_col goes through F.col, so dotted struct references resolve."""
+    import numpy as np
+
+    from sdk_spark.operators.similarity import with_lsh_bucket
+
+    rows = [(i, ([float(x) for x in np.random.RandomState(i).normal(size=8)],))
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, meta struct<embedding: array<float>>")
+    flat = df.select("vec_id", F.col("meta.embedding").alias("embedding"))
+    expected = {r["vec_id"]: r["lsh_bucket"]
+                for r in with_lsh_bucket(flat, "embedding", 6, 42, 8).collect()}
+    got = {r["vec_id"]: r["lsh_bucket"]
+           for r in with_lsh_bucket(df, "meta.embedding", 6, 42, 8).collect()}
+    assert got == expected
+
+
+def test_vec_literal_non_finite(spark):
+    """NaN/inf query components build valid literals (pre-fix: bare 'nan'
+    parsed as a column reference)."""
+    from sdk_spark.operators.similarity import _as_vec_lit
+
+    row = spark.range(1).select(
+        _as_vec_lit([float("nan"), float("inf"), float("-inf"), 1.5])
+        .alias("v")).first()
+    assert row["v"][0] != row["v"][0]
+    assert row["v"][1] == float("inf") and row["v"][2] == float("-inf")
+    assert row["v"][3] == 1.5
+
+
 def test_fk_orphans_planted(spark):
     from sdk_spark.operators.table_checks import fk_orphans
 
