@@ -293,6 +293,13 @@ class CompiledSchema:
                             out.extend(self._node(sub, f"#/{name}", df[name],
                                                   fdt, ctx, 1))
             if isinstance(node.get("propertyNames"), dict):
+                # INTENTIONAL root/nested divergence: at root, undeclared
+                # DataFrame columns are out-of-instance metadata (case ids,
+                # key columns, partition columns — every real table has
+                # them), so propertyNames/minProperties see DECLARED
+                # properties only.  A nested struct is fully instance-typed,
+                # so _object checks every field.  Pinned by
+                # test_review_fixes_r4c::test_toplevel_scopes_to_declared.
                 checker = RowChecker(node["propertyNames"], extended=True)
                 for name in schema_by_name:
                     if name in props and not checker.is_valid(name):
@@ -381,10 +388,21 @@ class CompiledSchema:
         if ctx.conditionals and not gate_failed:
             out.extend(self._conditional_constraints(node, path, col, dt, ctx, depth))
         if "const" in node:
+            # Non-scalar const/enum values have no Column literal (F.lit on a
+            # dict raises an opaque py4j SparkRuntimeException); raise the
+            # typed compile error instead so validate_auto reroutes the schema
+            # to the Arrow row kernel, which does deep equality.
+            if isinstance(node["const"], (dict, list)):
+                raise SchemaCompileError(
+                    f"non-scalar const at {path} is not Catalyst-expressible")
             out.append(Constraint(E.INSTANCE_CONST_MISMATCH, path,
                                   _present(col, col == F.lit(node["const"])),
                                   _render(col, dt)))
         if "enum" in node:
+            if any(isinstance(v, (dict, list)) for v in node["enum"]):
+                raise SchemaCompileError(
+                    f"non-scalar enum member at {path} is not "
+                    f"Catalyst-expressible")
             out.append(Constraint(E.INSTANCE_ENUM_MISMATCH, path,
                                   _present(col, col.isin(*node["enum"])),
                                   _render(col, dt)))
@@ -435,8 +453,21 @@ class CompiledSchema:
                     add(E.INSTANCE_NUMBER_OUT_OF_RANGE,
                         col >= F.lit(0) if t.startswith("u") else F.lit(True))
             elif isinstance(dt, T.DecimalType) and dt.scale == 0:
-                add(E.INSTANCE_NUMBER_OUT_OF_RANGE,
-                    (col >= F.lit(lo).cast(dt)) & (col <= F.lit(hi).cast(dt)))
+                # Only check sides the dtype can actually exceed: decimal(p,0)
+                # tops out at 10^p-1 < the int128/uint128 magnitude bounds, and
+                # casting those 39-digit literals to decimal(38,0) overflows
+                # (NULL, or ArithmeticException under ANSI) — so e.g. int128
+                # over decimal(38,0) needs no range check at all, uint128 only
+                # the >= 0 side.
+                dmax = 10 ** dt.precision - 1
+                pred = None
+                if -dmax < int(lo):
+                    pred = col >= F.lit(lo).cast(dt)
+                if dmax > int(hi):
+                    hi_ok = col <= F.lit(hi).cast(dt)
+                    pred = hi_ok if pred is None else (pred & hi_ok)
+                if pred is not None:
+                    add(E.INSTANCE_NUMBER_OUT_OF_RANGE, pred)
             else:
                 _require(False, t, dt, path)
         elif t == "decimal":
@@ -803,7 +834,11 @@ class CompiledSchema:
                         # malformed digits already fail NUMBER_FORMAT_INVALID
                         return F.when(col.rlike(RX["int"]), pred).otherwise(F.lit(True))
                 if dec_backed:
-                    return _decimal_bound(col, x, op)
+                    # same malformed-input guard as the int-backed path: an
+                    # unparseable string already fails DECIMAL_FORMAT_INVALID;
+                    # without the guard it would double-report every bound too
+                    return F.when(col.try_cast("double").isNotNull(),
+                                  _decimal_bound(col, x, op)).otherwise(F.lit(True))
                 b = F.lit(float(x) if isinstance(x, str) else x)
                 return {"ge": num >= b, "le": num <= b,
                         "gt": num > b, "lt": num < b}[op]
@@ -830,7 +865,10 @@ class CompiledSchema:
                     add(E.INSTANCE_NUMBER_EXCLUSIVE_MAXIMUM, cmp(em, "lt"))
             if "multipleOf" in node:
                 # quotient-rounding with 1e-10 tolerance, NOT modulo
-                # (reference: instance_validator.py:879-888)
+                # (reference: instance_validator.py:879-888); for
+                # string-backed ints >2^53 the double quotient is a KNOWN,
+                # documented divergence (test_regex_and_precision.py) — the
+                # exact digit-string machinery covers bounds, not division
                 q = num.cast("double") / F.lit(float(node["multipleOf"]))
                 add(E.INSTANCE_NUMBER_MULTIPLE_OF,
                     F.abs(q - F.round(q, 0)) <= F.lit(1e-10))

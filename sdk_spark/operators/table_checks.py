@@ -108,6 +108,15 @@ def gated_broadcast(small: DataFrame, threshold: int | None,
     _remember_persisted(small)
     if small.limit(cap + 1).count() <= cap:
         return F.broadcast(small)
+    # Gate failed: the set is oversized — exactly the case where retaining
+    # a (potentially multi-TB) cache through the consuming shuffle join and
+    # beyond is harmful.  Drop it now; the probe only materialized cap+1
+    # rows, so the single downstream pass recomputes nothing of substance.
+    try:
+        _PROBE_CACHE.remove(small)
+    except ValueError:
+        pass
+    small.unpersist(False)
     return small
 
 
@@ -139,11 +148,21 @@ def unique_violations(df: DataFrame, keys: list[str],
     ``broadcast_threshold=None`` to force the shuffle path.
     """
     dups = duplicate_keys(df, keys)
-    right = gated_broadcast(dups, broadcast_threshold)
-    joined = df.join(right, on=keys, how="inner")
-    key_expr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    # Null-safe rejoin: duplicate_keys groups NULL keys (groupBy treats
+    # NULLs as equal — the same semantics as a SQL window PARTITION BY), so
+    # the back-join must match them too or NULL-key duplicates silently
+    # vanish from the violation rows.
+    right = gated_broadcast(
+        dups.select(*[F.col(k).alias(f"__dk_{i}") for i, k in enumerate(keys)],
+                    "cnt"),
+        broadcast_threshold)
+    cond = reduce(lambda a, b: a & b,
+                  [df[k].eqNullSafe(right[f"__dk_{i}"])
+                   for i, k in enumerate(keys)])
+    joined = df.join(right, cond, "inner")
+    key_expr = F.concat_ws("|", *[df[k].cast("string") for k in keys])
     return joined.select(
-        *keys,
+        *[df[k] for k in keys],
         F.lit(E.ENGINE_UNIQUE_VIOLATION).alias("constraint_id"),
         F.lit("#/" + ",".join(keys)).alias("path"),
         key_expr.alias("value"),
@@ -167,10 +186,16 @@ def fk_orphans(fact: DataFrame, fk_cols: list[str],
                             for i, c in enumerate(pk_cols)]).distinct()
     if broadcast_dim:
         dim_keys = gated_broadcast(dim_keys, broadcast_threshold)
+    # SQL FK semantics (MATCH SIMPLE): a row with any NULL foreign-key
+    # column satisfies the constraint — NULL-ness is a required/not-null
+    # check's job, and a left-anti join would otherwise report every
+    # NULL-fk row as an orphan (NULL never equals anything).
+    candidates = fact.where(reduce(lambda a, b: a & b,
+                                   [fact[fk].isNotNull() for fk in fk_cols]))
     cond = reduce(lambda a, b: a & b,
-                  [fact[fk] == dim_keys[f"__pk_{i}"]
+                  [candidates[fk] == dim_keys[f"__pk_{i}"]
                    for i, fk in enumerate(fk_cols)])
-    return fact.join(dim_keys, cond, "left_anti")
+    return candidates.join(dim_keys, cond, "left_anti")
 
 
 def fk_violations(fact: DataFrame, fk_cols: list[str],
@@ -193,18 +218,22 @@ def column_profile(df: DataFrame, cols: list[str] | None = None,
     """Per-column stats in ONE aggregation pass: count, nulls, min, max,
     approx distinct (HyperLogLog++). Output: one row per column."""
     cols = cols or df.columns
+    # Aggregate under positional internal names so arbitrary column names
+    # (spaces, quotes, dots) never reach the stack() SQL as identifiers;
+    # the real name appears only as an escaped string literal label.
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
-            F.approx_count_distinct(c, hll_rsd).alias(f"{c}__distinct"),
+            F.sum(df[c].isNull().cast("long")).alias(f"__c{i}__nulls"),
+            F.min(df[c]).cast("string").alias(f"__c{i}__min"),
+            F.max(df[c]).cast("string").alias(f"__c{i}__max"),
+            F.approx_count_distinct(df[c], hll_rsd).alias(f"__c{i}__distinct"),
         ]
     wide = df.agg(*aggs)
     # unpivot driver-side schema (tiny: one row), keep it a DataFrame
     stack_expr = ", ".join(
-        f"'{c}', {c}__nulls, {c}__min, {c}__max, {c}__distinct" for c in cols)
+        "'{}', __c{i}__nulls, __c{i}__min, __c{i}__max, __c{i}__distinct"
+        .format(c.replace("'", "''"), i=i) for i, c in enumerate(cols))
     return wide.selectExpr(
         "__rows as rows",
         f"stack({len(cols)}, {stack_expr}) as (column, nulls, min, max, approx_distinct)"
@@ -268,7 +297,12 @@ def psi_drift(df_a: DataFrame, df_b: DataFrame, bucket: Column,
         .agg(F.count(F.lit(1)).alias("n_b"))
     tot_a = F.sum("n_a").over(Window.partitionBy())
     tot_b = F.sum("n_b").over(Window.partitionBy())
-    j = (a.join(b, alias, "full_outer")
+    # Null-safe bucket join: groupBy collects NULL-bucket rows (e.g. NULL
+    # inputs to the bucket expression) into one group per side; a plain
+    # equi full_outer would split that group into two disjoint rows and
+    # manufacture a large spurious PSI contribution on identical data.
+    j = (a.join(b, a[alias].eqNullSafe(b[alias]), "full_outer")
+         .select(F.coalesce(a[alias], b[alias]).alias(alias), "n_a", "n_b")
          .fillna(0, ["n_a", "n_b"])
          .withColumn("p_a", F.greatest(F.col("n_a") / tot_a,
                                        F.lit(epsilon)))
