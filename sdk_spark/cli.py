@@ -216,10 +216,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .compiler.core import CompiledSchema, violation_rows
     from .operators import table_checks as tc
-    from .streaming.manifest import (
-        run_resumable,
-        validate_partition_metrics,
-    )
+    from .streaming.manifest import observe_metrics, run_resumable
 
     spark = SparkSession.builder.appName("sdk-spark-validate").getOrCreate()
     df = _read_input(spark, args.input)
@@ -228,7 +225,9 @@ def main(argv: list[str] | None = None) -> int:
                           external_schemas=external or None)
 
     def validate_fn(pdf):
-        validated = plan.validate(pdf)
+        # metrics ride the violations write via Observation — one scan per
+        # partition instead of a metrics action plus a write action
+        validated, metrics = observe_metrics(plan.validate(pdf))
         viol = violation_rows(validated, [args.unique_key[0]] if args.unique_key
                               else [df.columns[0]])
         if args.unique_key:
@@ -241,7 +240,7 @@ def main(argv: list[str] | None = None) -> int:
             viol = viol.unionByName(
                 pixel_caption_invariants(pdf, args.psnr_threshold)
                 .select("image_id", "constraint_id", "path", "value"))
-        return viol, validate_partition_metrics(validated)
+        return viol, metrics
 
     if args.partition_col:
         run = run_resumable(
@@ -254,6 +253,8 @@ def main(argv: list[str] | None = None) -> int:
     else:
         viol, metrics = validate_fn(df)
         viol.write.mode("overwrite").parquet(args.violations)
+        if callable(metrics):  # Observation thunk: resolves after the write
+            metrics = metrics()
         spark.createDataFrame([json.dumps(metrics)], "string") \
             .write.mode("append").text(args.manifest + "_metrics")
         print(json.dumps(metrics))

@@ -1128,6 +1128,17 @@ def violation_rows(validated: DataFrame, key_cols: list[str]) -> DataFrame:
                     F.col("v.value").alias("value")))
 
 
+def verdict_aggs() -> list[Column]:
+    """THE verdict-metric definition, shared by every aggregation surface
+    (``partition_verdicts``, streaming ``windowed_verdicts``, the manifest's
+    per-partition metrics) so the semantics cannot silently diverge."""
+    return [F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("valid").cast("long")).alias("valid_rows"),
+            F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
+            F.sum(F.col("violation_count").cast("long"))
+            .alias("violation_count")]
+
+
 def partition_verdicts(validated: DataFrame,
                        partition_col: str | None = None) -> DataFrame:
     """Per-partition pass/fail verdict: one cheap shuffle of partition-count rows."""
@@ -1135,9 +1146,5 @@ def partition_verdicts(validated: DataFrame,
             else F.spark_partition_id()).alias("partition")
     return (validated
             .groupBy(part)
-            .agg(F.count(F.lit(1)).alias("rows"),
-                 F.sum(F.col("valid").cast("long")).alias("valid_rows"),
-                 F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-                 F.sum(F.col("violation_count").cast("long"))
-                 .alias("violation_count"))
+            .agg(*verdict_aggs())
             .withColumn("passed", F.col("invalid_rows") == F.lit(0)))

@@ -8,9 +8,11 @@ Structured Streaming:
 1. read the manifest table → set of committed partition values;
 2. validate only uncommitted partitions (predicate pushdown prunes the
    scan to each partition's files);
-3. per partition: overwrite that partition's violation output
-   (dynamic partition overwrite → idempotent re-runs), then append the
-   manifest row LAST — the manifest append is the commit point.
+3. per partition: statically overwrite that partition's hive-style
+   violation directory (``col=value`` — idempotent re-runs, and an EMPTY
+   result clears stale rows, which dynamic partition overwrite would
+   not), then append the manifest row LAST — the manifest append is the
+   commit point.
 
 A crash between (3a) and (3b) leaves an uncommitted partition whose output
 is simply overwritten on retry.  On Iceberg the same protocol applies with
@@ -58,10 +60,17 @@ def committed_partitions(spark: SparkSession, manifest_path: str,
     fingerprint (and optionally input path) so a resume after a schema or
     input change re-validates instead of silently skipping partitions
     committed under the old schema."""
+    from pyspark.errors import AnalysisException
+
     try:
         m = spark.read.parquet(manifest_path)
-    except Exception:
-        return set()
+    except AnalysisException as exc:
+        # ONLY the first-run case (no manifest yet) means "nothing
+        # committed"; storage/permission/corruption errors must surface,
+        # not silently trigger a full recompute of every partition
+        if "PATH_NOT_FOUND" in str(exc) or "UNABLE_TO_INFER_SCHEMA" in str(exc):
+            return set()
+        raise
     cond = F.col("status") == "committed"
     if fingerprint is not None:
         cond = cond & (F.col("schema_fingerprint") == F.lit(fingerprint))
@@ -91,8 +100,10 @@ def run_resumable(
 ) -> ResumableRun:
     """Validate partition-by-partition with resume.
 
-    ``validate_fn(partition_df) -> (violations_df, metrics_dict)`` where
-    metrics has rows/valid_rows/invalid_rows/violation_count.
+    ``validate_fn(partition_df) -> (violations_df, metrics)`` where metrics
+    is either a dict with rows/valid_rows/invalid_rows/violation_count or a
+    zero-arg callable returning one — pass ``observe_metrics``'s thunk to
+    collect the metrics during the violations write (single scan).
 
     Cardinality assumption: ``partition_col`` is a COARSE partition key
     (dates/buckets — hundreds to low thousands of values, the Iceberg
@@ -104,24 +115,39 @@ def run_resumable(
     """
     run_id = str(uuid.uuid4())
     fp = schema_fingerprint(schema_doc) if schema_doc else ""
-    done = committed_partitions(spark, manifest_path, fingerprint=fp)
+    # Scope the committed set by input path too (when one was given): a
+    # resume pointed at a DIFFERENT input must re-validate overlapping
+    # partition values, not silently skip them as already done.
+    done = committed_partitions(spark, manifest_path, fingerprint=fp,
+                                input_path=input_path or None)
     all_parts = [r[0] for r in (input_df.select(partition_col)
                                 .distinct().orderBy(partition_col).collect())]
     todo = [p for p in all_parts if str(p) not in done]
     if max_partitions is not None:
         todo = todo[:max_partitions]
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     processed: list[str] = []
     for part in todo:
         t0 = time.time()
-        pdf = input_df.where(F.col(partition_col) == F.lit(part))
+        # eqNullSafe: a NULL partition value must select its rows — a plain
+        # equality filter matches nothing, silently committing the NULL
+        # partition as validated with zero rows
+        pdf = input_df.where(F.col(partition_col).eqNullSafe(F.lit(part)))
         violations, metrics = validate_fn(pdf)
-        (violations
-         .withColumn(partition_col, F.lit(part))
-         .write.mode("overwrite")
-         .partitionBy(partition_col)
-         .parquet(violations_path))
+        # Static overwrite of THIS partition's directory (hive-style
+        # `col=value` layout, so readers of violations_path see a normal
+        # partitioned table).  Dynamic partition overwrite is wrong here:
+        # an EMPTY violations result overwrites nothing under dynamic mode,
+        # leaving stale rows from a prior run in place — and flipping the
+        # session-global partitionOverwriteMode leaked semantics into the
+        # caller's later writes.
+        part_dir = f"{violations_path}/{partition_col}={_escape_part(part)}"
+        violations.drop(partition_col).write.mode("overwrite").parquet(part_dir)
+        if callable(metrics):
+            # Observation-style metrics (see ``observe_metrics``): collected
+            # as a side effect of the violations write — ONE pass over the
+            # partition instead of a metrics action plus a write action.
+            metrics = metrics()
         row = [(str(part), "committed",
                 int(metrics.get("rows", 0)),
                 int(metrics.get("valid_rows", 0)),
@@ -136,13 +162,48 @@ def run_resumable(
                         skipped=[str(p) for p in all_parts if str(p) in done])
 
 
+_METRIC_KEYS = ("rows", "valid_rows", "invalid_rows", "violation_count")
+
+# the characters Spark's ExternalCatalogUtils.escapePathName rewrites, so
+# readers of the hive-style directory layout unescape values identically
+_HIVE_UNSAFE = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_part(value) -> str:
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join("%{:02X}".format(ord(ch))
+                   if ch in _HIVE_UNSAFE or ord(ch) < 32 else ch
+                   for ch in str(value))
+
+
 def validate_partition_metrics(validated: DataFrame) -> dict:
-    """One-pass metrics over a validated partition (rows/valid/violations)."""
-    row = validated.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.sum(F.col("valid").cast("long")).alias("valid_rows"),
-        F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-        F.sum(F.col("violation_count").cast("long")).alias("violation_count"),
-    ).collect()[0]
-    return {k: row[k] or 0 for k in
-            ("rows", "valid_rows", "invalid_rows", "violation_count")}
+    """Metrics over a validated partition as a STANDALONE action (one extra
+    scan).  Inside ``run_resumable`` prefer ``observe_metrics``, which
+    collects the same numbers as a side effect of the violations write."""
+    from ..compiler.core import verdict_aggs
+
+    row = validated.agg(*verdict_aggs()).collect()[0]
+    return {k: row[k] or 0 for k in _METRIC_KEYS}
+
+
+def observe_metrics(validated: DataFrame
+                    ) -> tuple[DataFrame, Callable[[], dict]]:
+    """Single-pass metrics: attach an ``Observation`` to the validated plan
+    and return ``(observed_df, thunk)``.  Build the violations from
+    ``observed_df``; after the violations write has run, the thunk returns
+    the same rows/valid/invalid/violation_count dict that
+    ``validate_partition_metrics`` computes — without a second scan.
+    ``run_resumable`` accepts the thunk directly as ``metrics``."""
+    from pyspark.sql import Observation
+
+    from ..compiler.core import verdict_aggs
+
+    obs = Observation()
+    observed = validated.observe(obs, *verdict_aggs())
+
+    def get() -> dict:
+        row = obs.get
+        return {k: int(row[k] or 0) for k in _METRIC_KEYS}
+
+    return observed, get

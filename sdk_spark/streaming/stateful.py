@@ -158,9 +158,15 @@ def streaming_sessions(stream_df: DataFrame, key_col: str,
     out-of-order history.
     """
     gap_us = int(gap_minutes * 60_000_000)
+    # epoch_micros, NOT unix_micros(cast('timestamp')): the cast would
+    # reinterpret a TIMESTAMP_NTZ wall clock in the session timezone and
+    # flip gap decisions across DST — the batch sessionize uses the same
+    # helper, which is what makes the boundary-agreement guarantee hold.
+    from ..operators.sessions import epoch_micros
+
     slim = stream_df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"))
+        epoch_micros(stream_df, ts_col).alias("us"))
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState
                ) -> Iterator[pd.DataFrame]:

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..compiler.core import CompiledSchema
+from ..compiler.core import CompiledSchema, verdict_aggs, violation_rows
 
 
 def validate_stream(stream_df: DataFrame, schema_doc: dict,
@@ -23,29 +23,24 @@ def validate_stream(stream_df: DataFrame, schema_doc: dict,
 
 
 def streaming_violations(stream_df: DataFrame, schema_doc: dict,
-                         key_cols: list[str]) -> DataFrame:
-    validated = validate_stream(stream_df, schema_doc)
-    v = F.explode("violations").alias("v")
-    return (validated.where(F.col("violation_count") > 0)
-            .select(*key_cols, v)
-            .where(F.col("v").isNotNull())
-            .select(*key_cols,
-                    F.col("v.constraint_id").alias("constraint_id"),
-                    F.col("v.path").alias("path"),
-                    F.col("v.value").alias("value")))
+                         key_cols: list[str],
+                         extended: bool = True) -> DataFrame:
+    """The batch ``violation_rows`` shape over a stream — delegated to it,
+    so the explode-then-filter plan (and its no-pre-filter rule: a
+    ``violation_count > 0`` filter would re-evaluate the whole constraint
+    plan in the Filter condition) stays defined in exactly one place."""
+    return violation_rows(
+        validate_stream(stream_df, schema_doc, extended=extended), key_cols)
 
 
 def windowed_verdicts(stream_df: DataFrame, schema_doc: dict,
                       event_time_col: str, window: str = "1 minute",
-                      watermark: str = "5 minutes") -> DataFrame:
+                      watermark: str = "5 minutes",
+                      extended: bool = True) -> DataFrame:
     """Per-event-time-window pass/fail verdicts with late-data tolerance."""
-    validated = validate_stream(stream_df, schema_doc)
+    validated = validate_stream(stream_df, schema_doc, extended=extended)
     return (validated
             .withWatermark(event_time_col, watermark)
             .groupBy(F.window(event_time_col, window).alias("window"))
-            .agg(F.count(F.lit(1)).alias("rows"),
-                 F.sum(F.col("valid").cast("long")).alias("valid_rows"),
-                 F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-                 F.sum(F.col("violation_count").cast("long"))
-                 .alias("violation_count"))
+            .agg(*verdict_aggs())
             .withColumn("passed", F.col("invalid_rows") == F.lit(0)))

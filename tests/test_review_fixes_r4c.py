@@ -175,3 +175,138 @@ def test_toplevel_scopes_to_declared_nested_checks_every_field(spark):
     nested_codes = sorted(r["constraint_id"] for r in nested.collect())
     assert "INSTANCE_PROPERTY_NAME_INVALID" in nested_codes
     assert "INSTANCE_MAX_PROPERTIES" in nested_codes
+
+
+# -- streaming/manifest review sweep (same session) ---------------------------
+
+
+SCHEMA_V = {"$id": "https://x/m",
+            "$schema": "https://json-structure.org/meta/extended/v0/#",
+            "type": "object", "name": "R",
+            "properties": {"id": {"type": "int64"},
+                           "v": {"type": "int64", "maximum": 100}},
+            "$uses": ["JSONStructureValidation"]}
+
+
+def _fn(metrics_mode="observe"):
+    from sdk_spark.compiler.core import CompiledSchema, violation_rows
+    from sdk_spark.streaming.manifest import (observe_metrics,
+                                              validate_partition_metrics)
+    plan = CompiledSchema(SCHEMA_V, extended=True)
+
+    def fn(pdf):
+        validated = plan.validate(pdf)
+        if metrics_mode == "observe":
+            validated, metrics = observe_metrics(validated)
+        else:
+            metrics = validate_partition_metrics(validated)
+        return violation_rows(validated, ["id"]), metrics
+    return fn
+
+
+def test_run_resumable_validates_null_partition(spark, tmp_path):
+    """A NULL partition value must be selected (eqNullSafe), validated, and
+    committed with its real row count — not matched-nothing and stamped
+    committed with rows=0."""
+    from sdk_spark.streaming.manifest import run_resumable
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, None, 500), (3, None, 7)], "id long, p string, v long")
+    run = run_resumable(spark, df, "p", str(tmp_path / "m"),
+                        str(tmp_path / "v"), _fn(), schema_doc=SCHEMA_V)
+    assert sorted(run.processed) == ["None", "a"]
+    m = {r["partition_value"]: r for r in
+         spark.read.parquet(str(tmp_path / "m")).collect()}
+    assert m["None"]["rows"] == 2 and m["None"]["violation_count"] == 1
+    viol = spark.read.parquet(str(tmp_path / "v"))
+    assert viol.where(F.col("p").isNull()).count() == 1
+
+
+def test_revalidation_clears_stale_violations(spark, tmp_path):
+    """Schema change → re-validation of a committed partition; a clean
+    result must OVERWRITE the partition's old violation rows (dynamic
+    partition overwrite would leave them)."""
+    from sdk_spark.streaming.manifest import run_resumable
+    df = spark.createDataFrame([(1, "a", 500)], "id long, p string, v long")
+    run_resumable(spark, df, "p", str(tmp_path / "m"), str(tmp_path / "v"),
+                  _fn(), schema_doc=SCHEMA_V)
+    viols = str(tmp_path / "v")
+    assert spark.read.parquet(viols).count() == 1
+    relaxed = {**SCHEMA_V,
+               "properties": {"id": {"type": "int64"},
+                              "v": {"type": "int64", "maximum": 10_000}}}
+    run2 = run_resumable(spark, df, "p", str(tmp_path / "m"), viols,
+                         _fn_for(relaxed), schema_doc=relaxed)
+    assert run2.processed == ["a"]  # new fingerprint → re-validated
+    assert spark.read.parquet(viols).count() == 0  # stale rows gone
+
+
+def _fn_for(doc):
+    from sdk_spark.compiler.core import CompiledSchema, violation_rows
+    from sdk_spark.streaming.manifest import observe_metrics
+    plan = CompiledSchema(doc, extended=True)
+
+    def fn(pdf):
+        validated, metrics = observe_metrics(plan.validate(pdf))
+        return violation_rows(validated, ["id"]), metrics
+    return fn
+
+
+def test_resume_rescopes_on_input_path_change(spark, tmp_path):
+    """The committed set is scoped by input path: pointing the same
+    manifest at a different input re-validates overlapping partitions."""
+    from sdk_spark.streaming.manifest import run_resumable
+    df = spark.createDataFrame([(1, "a", 5)], "id long, p string, v long")
+    run_resumable(spark, df, "p", str(tmp_path / "m"), str(tmp_path / "v"),
+                  _fn(), schema_doc=SCHEMA_V, input_path="/data/jan")
+    run2 = run_resumable(spark, df, "p", str(tmp_path / "m"),
+                         str(tmp_path / "v"), _fn(), schema_doc=SCHEMA_V,
+                         input_path="/data/feb")
+    assert run2.processed == ["a"] and run2.skipped == []
+
+
+def test_run_resumable_does_not_leak_session_conf(spark, tmp_path):
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    from sdk_spark.streaming.manifest import run_resumable
+    df = spark.createDataFrame([(1, "a", 5)], "id long, p string, v long")
+    run_resumable(spark, df, "p", str(tmp_path / "m"), str(tmp_path / "v"),
+                  _fn(), schema_doc=SCHEMA_V)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+
+
+def test_committed_partitions_raises_on_corrupt_manifest(spark, tmp_path):
+    """Only the missing-manifest first run means 'nothing committed';
+    a corrupt manifest must surface, not trigger a silent full recompute."""
+    import pytest as _pytest
+    from sdk_spark.streaming.manifest import committed_partitions
+    assert committed_partitions(spark, str(tmp_path / "absent")) == set()
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with _pytest.raises(Exception):
+        got = committed_partitions(spark, str(bad))
+        # a clean read of garbage must not quietly claim "first run"
+        assert got != set()
+
+
+def test_observe_metrics_matches_standalone_metrics(spark):
+    from sdk_spark.compiler.core import CompiledSchema
+    from sdk_spark.streaming.manifest import (observe_metrics,
+                                              validate_partition_metrics)
+    df = spark.createDataFrame([(1, 5), (2, 500), (3, 7)], "id long, v long")
+    plan = CompiledSchema(SCHEMA_V, extended=True)
+    expected = validate_partition_metrics(plan.validate(df))
+    observed, thunk = observe_metrics(plan.validate(df))
+    observed.write.format("noop").mode("overwrite").save()
+    assert thunk() == {k: int(v) for k, v in expected.items()}
+
+
+def test_streaming_violations_is_the_batch_shape(spark):
+    """streaming_violations delegates to violation_rows: identical rows on
+    the same (batch) input, no violation_count pre-filter plan bloat."""
+    from sdk_spark.compiler.core import CompiledSchema, violation_rows
+    from sdk_spark.streaming.validate_stream import streaming_violations
+    df = spark.createDataFrame([(1, 5), (2, 500)], "id long, v long")
+    got = sorted(map(tuple, streaming_violations(df, SCHEMA_V, ["id"]).collect()))
+    want = sorted(map(tuple, violation_rows(
+        CompiledSchema(SCHEMA_V, extended=True).validate(df), ["id"]).collect()))
+    assert got == want and len(got) == 1
