@@ -44,6 +44,58 @@ DECODE_META_SCHEMA = T.StructType([
 ])
 
 
+_FMT_ALIASES = {"jpg": "jpeg", "ppm": "pnm", "tif": "tiff"}
+
+
+def sniff_format(payload: bytes) -> str | None:
+    """Format family by magic bytes (None = unrecognized)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:4] == b"qoif":
+        return "qoi"
+    if payload[:2] == b"\xFF\xD8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
+    if payload[:2] in (b"P5", b"P6"):
+        return "pnm"
+    from ..functions.ico import looks_like_ico
+
+    if looks_like_ico(payload):
+        return "ico"
+    from ..functions.tga import looks_like_tga
+
+    if looks_like_tga(payload):
+        return "tga"
+    return None
+
+
+def is_lossy_payload(payload: bytes) -> bool:
+    """True when the payload's codec is lossy (JPEG, or WebP whose first
+    image chunk is VP8) — lossless formats must reproduce stored hashes
+    and pixels exactly; lossy ones get the documented tolerances."""
+    if payload[:2] == b"\xFF\xD8":
+        return True
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        pos = 12
+        while pos + 8 <= len(payload):
+            tag = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            if tag == b"VP8 ":
+                return True
+            if tag == b"VP8L":
+                return False
+            pos += 8 + size + (size & 1)
+        return True  # no image chunk found: claim no exactness
+    return False
+
+
 def decode_image(payload: bytes, fmt: str | None = None,
                  auto_orient: bool = False) -> np.ndarray:
     """Decode one image payload by magic bytes.
@@ -53,8 +105,20 @@ def decode_image(payload: bytes, fmt: str | None = None,
     ALPH alpha, first frame of ANIM) and GIF (full LZW/interlace/
     transparency, first composited frame) all decode for real with
     pure-Python codecs.  ``auto_orient`` applies the EXIF orientation
-    (JPEG APP1 / WebP EXIF chunk) so pixels come out display-upright."""
+    (JPEG APP1 / WebP EXIF chunk) so pixels come out display-upright.
+
+    ``fmt`` (when given) is a cross-check against the sniffed magic: a
+    declared-vs-actual format mismatch is a data-quality defect and
+    raises ValueError (→ a violation row in the Arrow kernels), never a
+    silent decode-as-whatever-it-is."""
     from ..functions.png import decode_png
+
+    if fmt is not None:
+        declared = _FMT_ALIASES.get(fmt.lower(), fmt.lower())
+        sniffed = sniff_format(payload)
+        if sniffed is not None and sniffed != declared:
+            raise ValueError(
+                f"declared format {fmt!r} but payload is {sniffed}")
 
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
@@ -220,7 +284,12 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
     """
     if sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=42)
-    want = [F.col("image_id"), F.col("bytes"), F.col("caption")]
+    want = [F.col("image_id"), F.col("bytes")]
+    if check_pixels:
+        # caption rides along only when the caption comparison runs —
+        # phash-only mode must work on bytes+phash tables (and not ship
+        # an unread wide column through Arrow)
+        want.append(F.col("caption"))
     if check_phash:
         # ship the hash as a STRING: a NULL anywhere in an Arrow batch
         # coerces a pandas int64 column to float64, which silently drops
@@ -236,8 +305,10 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
         for pdf in batches:
             rows = []
             stored_hashes = pdf["__phash_str"] if check_phash else None
-            for idx, (image_id, payload, caption) in enumerate(zip(
-                    pdf["image_id"], pdf["bytes"], pdf["caption"])):
+            captions = pdf["caption"] if check_pixels else None
+            for idx, (image_id, payload) in enumerate(zip(
+                    pdf["image_id"], pdf["bytes"])):
+                caption = captions.iloc[idx] if check_pixels else None
                 if image_id is None or payload is None:
                     continue
                 try:
@@ -262,7 +333,12 @@ def pixel_caption_invariants(df: DataFrame, psnr_threshold: float = 40.0,
                     stored = int(stored_hashes.iloc[idx])
                     computed = average_hash(decoded)
                     ham = ((stored ^ computed) & ((1 << 64) - 1)).bit_count()
-                    if ham > phash_tolerance:
+                    # the documented invariant: lossless formats reproduce
+                    # the stored hash EXACTLY; only lossy codecs get the
+                    # Hamming tolerance for mean-threshold flips
+                    tol = (phash_tolerance
+                           if is_lossy_payload(bytes(payload)) else 0)
+                    if ham > tol:
                         rows.append((image_id, E.ENGINE_PHASH_MISMATCH,
                                      f"#/{phash_col}",
                                      f"stored={stored} computed={computed} "

@@ -29,7 +29,7 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..compiler.core import CompiledSchema
+from ..compiler.core import CompiledSchema, verdict_aggs, violation_rows
 from .. import errors as E
 from ..operators import table_checks as tc
 from ..operators.multimodal import pixel_caption_invariants
@@ -67,24 +67,34 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
         # between one scan of the 100-TB table and four
         slim = slim.persist(StorageLevel.MEMORY_AND_DISK)
 
-    v = F.explode(F.col("violations")).alias("v")
-    row_viol = (slim.select(key_col, v)
-                .where(F.col("v").isNotNull())
-                .select(key_col,
-                        F.col("v.constraint_id").alias("constraint_id"),
-                        F.col("v.path").alias("path"),
-                        F.col("v.value").alias("value")))
+    # the canonical explode-then-filter shape, defined once in the compiler
+    row_viol = violation_rows(slim, [key_col])
 
-    # uniqueness from the cached slim projection (key column only)
-    dups = tc.duplicate_keys(slim.select(key_col), [key_col])
+    # uniqueness from the cached slim projection (key column only);
+    # eqNullSafe: duplicate_keys groups NULL keys, so the back-join must
+    # match them too or NULL-key duplicates silently vanish (the same
+    # contract table_checks.unique_violations keeps)
+    dups = tc.duplicate_keys(slim.select(key_col), [key_col]) \
+        .select(F.col(key_col).alias("__dk"), "cnt")
     uniq_viol = (slim.select(key_col)
-                 .join(tc.gated_broadcast(dups, 10_000_000), on=[key_col])
+                 .join(tc.gated_broadcast(dups, 10_000_000),
+                       F.col(key_col).eqNullSafe(F.col("__dk")))
                  .select(F.col(key_col),
                          F.lit(E.ENGINE_UNIQUE_VIOLATION).alias("constraint_id"),
                          F.lit(f"#/{key_col}").alias("path"),
                          F.col(key_col).cast("string").alias("value")))
 
     all_viol = row_viol.unionByName(uniq_viol)
+    if check_pixels or check_phash or check_exif:
+        # the media kernels speak the north-rule column names; a custom
+        # key column is presented to them as image_id (and their output
+        # keyed back as key_col), so key_col= composes with every check
+        if key_col != "image_id" and "image_id" in df.columns:
+            raise ValueError(
+                f"key_col={key_col!r} with a distinct 'image_id' column is "
+                f"ambiguous for the media checks — drop or rename one")
+        media_df = (df if key_col == "image_id"
+                    else df.withColumnRenamed(key_col, "image_id"))
     if check_pixels or check_phash:
         # phash consistency rides the same decode pass as the PSNR
         # invariant — one scan of the heavy ``bytes`` column either way.
@@ -92,24 +102,23 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
         # reports decode failures: an undecodable payload cannot vouch
         # for its stored hash.
         inv = pixel_caption_invariants(
-            df, psnr_threshold, pixel_sample_fraction,
+            media_df, psnr_threshold, pixel_sample_fraction,
             check_phash=check_phash, phash_tolerance=phash_tolerance,
             check_pixels=check_pixels)
         all_viol = all_viol.unionByName(
-            inv.select("image_id", "constraint_id", "path", "value"))
+            inv.select(F.col("image_id").alias(key_col),
+                       "constraint_id", "path", "value"))
     if check_exif:
         # header-only scan (no pixel decode): declared (w, h) must agree
         # with any embedded EXIF dims, orientation-aware
         from ..operators.multimodal import exif_consistency_violations
 
-        all_viol = all_viol.unionByName(exif_consistency_violations(df))
+        all_viol = all_viol.unionByName(
+            exif_consistency_violations(media_df)
+            .withColumnRenamed("image_id", key_col))
 
     verdicts = (slim.groupBy(F.col("__part").alias("partition"))
-                .agg(F.count(F.lit(1)).alias("rows"),
-                     F.sum(F.col("valid").cast("long")).alias("valid_rows"),
-                     F.sum((~F.col("valid")).cast("long")).alias("invalid_rows"),
-                     F.sum(F.col("violation_count").cast("long"))
-                     .alias("violation_count"))
+                .agg(*verdict_aggs())
                 .withColumn("passed", F.col("invalid_rows") == F.lit(0)))
 
     return ImageValidationResult(

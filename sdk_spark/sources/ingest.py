@@ -41,13 +41,24 @@ def coerce(value: Any, dt: T.DataType) -> Any:
             raise IngestError("expected number")
         return float(value)
     if isinstance(dt, T.DecimalType):
-        from decimal import Decimal
-        return Decimal(str(value))
+        from decimal import Decimal, InvalidOperation
+        try:
+            return Decimal(str(value))
+        except InvalidOperation as exc:
+            # InvalidOperation is an ArithmeticError, NOT a ValueError —
+            # without this it escapes every IngestError handler
+            raise IngestError(f"expected decimal, got {value!r}") from exc
     if isinstance(dt, T.BinaryType):
         if isinstance(value, (bytes, bytearray)):
             return bytes(value)
         if isinstance(value, str):
-            return base64.b64decode(value)
+            try:
+                # validate=True: without it, non-alphabet characters are
+                # silently DISCARDED and garbage ingests as empty bytes —
+                # fail-open in a validation engine
+                return base64.b64decode(value, validate=True)
+            except Exception as exc:
+                raise IngestError(f"invalid base64: {exc}") from exc
         raise IngestError("expected binary")
     if isinstance(dt, T.ArrayType):
         if not isinstance(value, list):
@@ -82,6 +93,11 @@ def instances_df(spark: SparkSession, struct_type: T.StructType,
             row = (coerce(inst, struct_type.fields[0].dataType),)
         else:
             row = coerce(inst, struct_type)
+            if row is None:
+                # a null root against an object schema becomes an all-NULL
+                # row the validator can flag (required-missing), instead of
+                # crashing the harness on tuple(None)
+                row = tuple(None for _ in struct_type.fields)
         if case_ids is not None:
             row = (case_ids[i],) + tuple(row)
         rows.append(row)

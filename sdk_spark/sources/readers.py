@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..compiler.core import CompiledSchema
+from .. import errors as E
 
 CORRUPT_COL = "_corrupt_record"
 
@@ -62,7 +63,7 @@ def corrupt_record_violations(df: DataFrame, key_cols: list[str]) -> DataFrame:
         raise ValueError(f"DataFrame has no {CORRUPT_COL} column")
     return (df.where(F.col(CORRUPT_COL).isNotNull())
             .select(*key_cols,
-                    F.lit("INSTANCE_TYPE_MISMATCH").alias("constraint_id"),
+                    F.lit(E.INSTANCE_TYPE_MISMATCH).alias("constraint_id"),
                     F.lit("#").alias("path"),
                     F.substring(F.col(CORRUPT_COL), 1, 256).alias("value")))
 

@@ -310,3 +310,113 @@ def test_streaming_violations_is_the_batch_shape(spark):
     want = sorted(map(tuple, violation_rows(
         CompiledSchema(SCHEMA_V, extended=True).validate(df), ["id"]).collect()))
     assert got == want and len(got) == 1
+
+
+# -- multimodal / image-job / ingest review sweep (same session) ---------------
+
+
+def test_image_job_reports_null_key_duplicates(spark):
+    """The flagship pipeline's inline uniqueness back-join is null-safe:
+    multiple NULL image_ids must surface as ENGINE_UNIQUE_VIOLATION rows."""
+    from sdk_spark.plans.image_job import validate_images
+    from sdk_spark.sources.images import generate_images
+    base = generate_images(spark, 12, partitions=2, plant=False)
+    nulled = base.withColumn(
+        "image_id", F.when(F.col("image_id").isNotNull() &
+                           (F.crc32(F.col("image_id")) % 3 == 0),
+                           F.lit(None)).otherwise(F.col("image_id")))
+    n_null = nulled.where(F.col("image_id").isNull()).count()
+    assert n_null >= 2, "fixture must plant >=2 NULL keys"
+    res = validate_images(nulled, persist_intermediate=False)
+    uniq = res.violations.where(
+        (F.col("constraint_id") == "ENGINE_UNIQUE_VIOLATION")
+        & F.col("image_id").isNull())
+    assert uniq.count() == n_null
+
+
+def test_image_job_key_col_composes_with_media_checks(spark):
+    from sdk_spark.plans.image_job import validate_images
+    from sdk_spark.sources.images import generate_images
+    df = generate_images(spark, 10, partitions=2, plant=False) \
+        .withColumnRenamed("image_id", "img_key")
+    res = validate_images(df, check_pixels=True, check_phash=True,
+                          check_exif=True, key_col="img_key",
+                          persist_intermediate=False)
+    assert "img_key" in res.violations.columns
+    res.violations.count()  # plans resolve end-to-end
+
+
+def test_image_job_key_col_rejects_ambiguous_image_id(spark):
+    from sdk_spark.plans.image_job import validate_images
+    from sdk_spark.sources.images import generate_images
+    df = generate_images(spark, 4, partitions=1, plant=False) \
+        .withColumn("other", F.col("image_id"))
+    df = df.withColumnRenamed("other", "k2")
+    ambiguous = df  # has both image_id and k2
+    with pytest.raises(ValueError, match="ambiguous"):
+        validate_images(ambiguous, check_pixels=True, key_col="k2",
+                        persist_intermediate=False)
+
+
+def test_decode_image_fmt_crosscheck(spark):
+    from sdk_spark.functions.png import encode_png
+    from sdk_spark.operators.multimodal import decode_image
+    import numpy as np
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    png = encode_png(arr)
+    assert decode_image(png, fmt="png").shape == (4, 4, 3)
+    with pytest.raises(ValueError, match="declared format"):
+        decode_image(png, fmt="jpeg")
+
+
+def test_phash_exact_for_lossless_tolerant_for_lossy(spark):
+    """A stored hash 1 bit off must be flagged on PNG (lossless ⇒ exact)
+    and absorbed on JPEG (lossy ⇒ tolerance)."""
+    import numpy as np
+    from sdk_spark.functions.jpeg import encode_jpeg
+    from sdk_spark.functions.png import encode_png
+    from sdk_spark.operators.multimodal import (decode_image,
+                                                pixel_caption_invariants)
+    from sdk_spark.sources.images import average_hash
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    png, jpg = encode_png(arr), encode_jpeg(arr, 95)
+    rows = [("p", bytearray(png),
+             average_hash(decode_image(png)) ^ 1),       # 1 bit off: flag
+            ("j", bytearray(jpg),
+             average_hash(decode_image(jpg)) ^ 1)]       # 1 bit off: absorb
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long")
+    got = {r["image_id"] for r in pixel_caption_invariants(
+        df, check_pixels=False, check_phash=True,
+        phash_tolerance=6).collect()}
+    assert got == {"p"}
+
+
+def test_phash_only_mode_needs_no_caption_column(spark):
+    import numpy as np
+    from sdk_spark.functions.png import encode_png
+    from sdk_spark.operators.multimodal import (decode_image,
+                                                pixel_caption_invariants)
+    from sdk_spark.sources.images import average_hash
+    arr = np.full((8, 8, 3), 7, dtype=np.uint8)
+    png = encode_png(arr)
+    df = spark.createDataFrame(
+        [("a", bytearray(png), average_hash(decode_image(png)))],
+        "image_id string, bytes binary, phash long")  # NO caption column
+    assert pixel_caption_invariants(df, check_pixels=False,
+                                    check_phash=True).count() == 0
+
+
+def test_ingest_error_contract(spark):
+    from pyspark.sql import types as T
+    from sdk_spark.sources.ingest import IngestError, coerce, instances_df
+    with pytest.raises(IngestError, match="base64"):
+        coerce("!!!!", T.BinaryType())
+    with pytest.raises(IngestError, match="decimal"):
+        coerce("abc", T.DecimalType(10, 2))
+    st = T.StructType([T.StructField("a", T.IntegerType()),
+                       T.StructField("b", T.StringType())])
+    out = instances_df(spark, st, [None, {"a": 1, "b": "x"}],
+                       scalar_root=False, case_ids=["null-root", "ok"])
+    got = {r["case_id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert got == {"null-root": (None, None), "ok": (1, "x")}
