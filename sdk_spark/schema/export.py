@@ -133,18 +133,51 @@ def schema_from_struct_type(st: T.StructType, name: str = "ExportedRecord",
     return _xform(transform_schema, doc, "#", type_=st)
 
 
+_UNION_ORIGINS: tuple = (typing.Union,)
+try:  # PEP 604 `int | str` unions: get_origin returns types.UnionType
+    import types as _pytypes
+
+    _UNION_ORIGINS = (typing.Union, _pytypes.UnionType)
+except AttributeError:  # pragma: no cover — pre-3.10
+    pass
+
+
+def _is_union(origin: Any) -> bool:
+    return origin in _UNION_ORIGINS
+
+
+def _choice_name(a: Any, node: dict, i: int) -> str:
+    if dataclasses.is_dataclass(a):
+        return a.__name__
+    t = node.get("type")
+    return t if isinstance(t, str) else f"choice{i}"
+
+
 def _node_from_pytype(tp: Any, transform: TransformFn | None = None,
                       path: str = "#") -> dict:
     origin = typing.get_origin(tp)
-    if origin is typing.Union or str(origin) == "types.UnionType":
+    if _is_union(origin):
         args = [a for a in typing.get_args(tp)]
         non_none = [a for a in args if a is not type(None)]
         if len(non_none) == 1:
             # Optional[X] → X, nullable
             return _node_from_pytype(non_none[0], transform, path)
-        return {"type": [
-            _node_from_pytype(a, transform, path).get("type", "any")
-            for a in non_none]}
+        members = [_node_from_pytype(a, transform, f"{path}/choices")
+                   for a in non_none]
+        if all(isinstance(n.get("type"), str) and len(n) == 1
+               for n in members):
+            # scalar-only union → compact type list (the compiler's
+            # first-match dispatch form)
+            return {"type": [n["type"] for n in members]}
+        # any compound member (dataclass/list/dict): a bare name in a type
+        # list would discard its structure AND be rejected by the schema
+        # checker ("inline compound not permitted in union; use $ref") —
+        # export as a choice with full subschemas, the reference exporter's
+        # shape (schema_exporter.py:317-329)
+        return {"type": "choice",
+                "choices": {_choice_name(a, n, i): n
+                            for i, (a, n) in enumerate(zip(non_none,
+                                                           members))}}
     if origin in (list, set, frozenset):
         (item,) = typing.get_args(tp) or (Any,)
         t = "set" if origin in (set, frozenset) else "array"
@@ -171,7 +204,7 @@ def _object_from_dataclass(cls: type, transform: TransformFn | None = None,
         props[f.name] = _xform(transform,
                                _node_from_pytype(tp, transform, fpath),
                                fpath, type_=tp, field=f)
-        is_optional = (typing.get_origin(tp) is typing.Union
+        is_optional = (_is_union(typing.get_origin(tp))
                        and type(None) in typing.get_args(tp))
         has_default = (f.default is not dataclasses.MISSING
                        or f.default_factory is not dataclasses.MISSING)

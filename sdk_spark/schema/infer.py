@@ -46,7 +46,7 @@ _SPARK_TO_STRUCT = {
     T.LongType: "int64", T.FloatType: "float", T.DoubleType: "double",
     T.StringType: "string", T.BooleanType: "boolean",
     T.BinaryType: "binary", T.DateType: "date",
-    T.TimestampType: "datetime",
+    T.TimestampType: "datetime", T.TimestampNTZType: "datetime",
 }
 
 
@@ -84,8 +84,14 @@ def infer_schema(df: DataFrame, name: str = "InferredRecord",
             aggs += [F.min(F.length(c)).alias(f"{c}__lo"),
                      F.max(F.length(c)).alias(f"{c}__hi"),
                      F.approx_count_distinct(c).alias(f"{c}__d")]
-    row = df.agg(*aggs).first()
-    rows = row["__rows"]
+    raw = df.agg(*aggs).first()
+    rows = raw["__rows"]
+    # SQL aggregates over ZERO rows return NULL (not 0): normalize so an
+    # empty DataFrame / empty sample yields a types-only schema instead of
+    # a TypeError on None-vs-int comparisons
+    row = {k: (0 if raw[k] is None and (k.endswith("__n") or k == "__rows"
+                                        or k.endswith("__d")) else raw[k])
+           for k in raw.asDict()}
 
     # second (tiny) pass: exact value sets ONLY for columns the HLL
     # estimate marks as enum candidates — an uncapped collect_set on a
@@ -146,6 +152,11 @@ def infer_schema(df: DataFrame, name: str = "InferredRecord",
                     # its bounds must be digit strings
                     node["minimum"] = str(int(wlo))
                     node["maximum"] = str(int(whi))
+                elif isinstance(dt, T.DecimalType):
+                    # decimal is string-backed too: numeric bounds would be
+                    # rejected by the engine's own check_schema
+                    node["minimum"] = str(wlo)
+                    node["maximum"] = str(whi)
                 else:
                     node["minimum"] = _maybe_int(wlo)
                     node["maximum"] = _maybe_int(whi)

@@ -65,12 +65,20 @@ def detect_extensions(root: dict, extended: bool = False) -> set[str]:
     return exts
 
 
-def effective(root: dict, node: Any, depth: int = 0, max_depth: int = 64) -> dict:
+def effective(root: dict, node: Any, depth: int = 0, max_depth: int = 64,
+              as_base: bool = False) -> dict:
     """Resolve one schema node to its effective form.
 
     Handles ``$ref``, ``type: {$ref}`` merge, ``$extends`` flattening, and
     ``$root`` redirection.  Does NOT recurse into child schemas (the
     compiler resolves children lazily so recursive schemas stay finite).
+
+    ``as_base=True`` marks resolution of an ``$extends`` BASE: abstract
+    bases are the whole point of ``abstract`` and must resolve without
+    error — the reference never inspects the base's flag during the merge
+    (instance_validator.py:280-316), and strips the derived node's own
+    flag afterwards, so only a schema used DIRECTLY for validation with
+    ``abstract: true`` and no ``$extends`` is rejected.
     """
     if depth > max_depth:
         raise SchemaCompileError("schema graph too deep (possible $ref cycle)")
@@ -126,7 +134,7 @@ def effective(root: dict, node: Any, depth: int = 0, max_depth: int = 64) -> dic
             base = deref(root, r)
             if base is None:
                 raise SchemaCompileError(f"cannot resolve $extends {r}")
-            base = effective(root, base, depth + 1, max_depth)
+            base = effective(root, base, depth + 1, max_depth, as_base=True)
             for k, v in base.get("properties", {}).items():
                 base_props.setdefault(k, v)
             for x in base.get("required", []) or []:
@@ -148,7 +156,7 @@ def effective(root: dict, node: Any, depth: int = 0, max_depth: int = 64) -> dic
             flat["required"] = req
         node = flat
 
-    if node.get("abstract") is True:
+    if node.get("abstract") is True and not as_base:
         raise SchemaCompileError("abstract schema cannot validate instances")
     return node
 
@@ -166,6 +174,12 @@ def import_defs(root: dict, external_schemas: dict[str, dict] | None = None) -> 
     root = _copy.deepcopy(root)
 
     def rewrite(obj: Any, target_path: str) -> None:
+        # Reference parity, bug-for-bug: the rewrite keeps only the LAST
+        # pointer segment (reference _rewrite_refs,
+        # instance_validator.py:1085-1090 uses ref_parts[-1]), so a ref
+        # into a nested imported namespace (#/definitions/ns/Foo) dangles
+        # after import in BOTH engines.  Deliberately not "fixed" here —
+        # diverging would break differential parity with the reference.
         if isinstance(obj, dict):
             for k, v in obj.items():
                 if k == "$ref" and isinstance(v, str) and v.startswith("#"):

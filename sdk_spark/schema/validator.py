@@ -543,6 +543,11 @@ class SchemaChecker:
         elif t == "string":
             self._string_kw(node, path)
         elif t in ("array", "set"):
+            # reference parity: constraint-VALUE validation dispatches for
+            # array/set only — tuple carries the keywords per the matrix
+            # above but the reference never value-checks them either
+            # (schema_validator.py:735 dispatches _check_array_validation
+            # for ["array", "set"] only)
             self._array_kw(node, path, t)
         elif t in ("object", "map"):
             self._objectish_kw(node, path, t)

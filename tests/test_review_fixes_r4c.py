@@ -420,3 +420,92 @@ def test_ingest_error_contract(spark):
                        scalar_root=False, case_ids=["null-root", "ok"])
     got = {r["case_id"]: (r["a"], r["b"]) for r in out.collect()}
     assert got == {"null-root": (None, None), "ok": (1, "x")}
+
+
+# -- schema-layer review sweep (same session) ----------------------------------
+
+import dataclasses as _dc
+
+
+@_dc.dataclass
+class _P6Inner:
+    x: int
+
+
+@_dc.dataclass
+class _P6Rec:
+    a: int | None          # optional, no default: NOT required
+    b: int | str           # scalar union: compact type list
+    c: str                 # required
+
+
+@_dc.dataclass
+class _P6Choice:
+    v: int | _P6Inner
+
+
+def test_extends_abstract_base_compiles_and_validates(spark):
+    """Abstract bases exist to be extended: the Catalyst path must resolve
+    them exactly like the row kernel and the reference (which never
+    inspects the base's flag during the $extends merge)."""
+    from sdk_spark.compiler.core import CompiledSchema, violation_rows
+    from sdk_spark.rowcheck import RowChecker
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/extended/v0/#",
+           "definitions": {"Base": {"abstract": True, "name": "Base",
+                                    "type": "object",
+                                    "properties": {"a": {"type": "int32"}},
+                                    "required": ["a"]}},
+           "type": "object", "name": "R", "$extends": "#/definitions/Base",
+           "properties": {"b": {"type": "string"}}}
+    assert RowChecker(doc, extended=True).check({"a": 1, "b": "x"}) == []
+    df = spark.createDataFrame([(1, "x"), (None, "y")], "a int, b string")
+    rows = violation_rows(CompiledSchema(doc, extended=True).validate(df), ["b"])
+    got = {(r["b"], r["constraint_id"]) for r in rows.collect()}
+    assert got == {("y", "INSTANCE_REQUIRED_PROPERTY_MISSING")}
+
+
+def test_export_pep604_unions():
+    # NOTE: module-level dataclasses (_P6Rec/_P6Inner below) because this
+    # file uses `from __future__ import annotations` — get_type_hints
+    # cannot resolve function-local classes from stringified annotations
+    from sdk_spark.schema.export import schema_from_dataclass
+
+    doc = schema_from_dataclass(_P6Rec)
+    props = doc["properties"]
+    assert props["a"]["type"] == "int32"          # Optional unwraps
+    assert props["b"]["type"] == ["int32", "string"]
+    # a (optional) excluded; b and c (non-optional, no default) required
+    assert sorted(doc["required"]) == ["b", "c"]
+
+
+def test_export_union_with_dataclass_member_is_a_choice():
+    from sdk_spark.schema.export import schema_from_dataclass
+    from sdk_spark.schema.validator import check_schema
+
+    doc = schema_from_dataclass(_P6Choice)
+    node = doc["properties"]["v"]
+    assert node["type"] == "choice"
+    assert node["choices"]["_P6Inner"]["properties"]["x"]["type"] == "int32"
+    assert check_schema(doc, extended=True) == []  # own checker accepts it
+
+
+def test_infer_schema_on_empty_dataframe(spark):
+    from sdk_spark.schema.infer import infer_schema
+    df = spark.createDataFrame([], "a int, b string, c decimal(10,2)")
+    doc = infer_schema(df)
+    assert doc["properties"]["a"]["type"] == "int32"
+    assert doc["properties"]["c"]["type"] == "decimal"
+
+
+def test_infer_decimal_bounds_are_strings_and_self_accepting(spark):
+    from decimal import Decimal
+
+    from sdk_spark.schema.validator import check_schema
+    from sdk_spark.schema.infer import infer_schema
+    df = spark.createDataFrame([(Decimal("1.50"),), (Decimal("99.25"),)],
+                               "d decimal(10,2)")
+    doc = infer_schema(df)
+    node = doc["properties"]["d"]
+    assert isinstance(node["minimum"], str) and isinstance(node["maximum"], str)
+    assert check_schema(doc, extended=True) == []
