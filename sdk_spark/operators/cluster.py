@@ -130,14 +130,16 @@ def dup_clusters(pairs: DataFrame, src: str = "id_a",
 def resolve_duplicates(df: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id", src: str = "id_a",
                        dst: str = "id_b",
-                       broadcast_threshold: int | None = None) -> DataFrame:
+                       broadcast_threshold: int | None = 10_000_000) -> DataFrame:
     """Drop every clustered row except its cluster minimum (the keeper).
 
     The loser set (clustered nodes that are not their component minimum)
     is at most the number of near-dup rows — usually a small fraction of
     the corpus — so it rides the size-gated broadcast anti-join from
     ``table_checks``; a corpus that is mostly duplicates degrades to a
-    shuffle anti-join instead of a multi-GB broadcast.
+    shuffle anti-join instead of a multi-GB broadcast.  (``None`` would
+    DISABLE the gated broadcast outright — the default opts in, like every
+    other gated-broadcast consumer in the package.)
     """
     cc = connected_components(pairs, src=src, dst=dst)
     losers = (cc.where(F.col("id") != F.col("cluster_id"))

@@ -63,6 +63,25 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
     (fastest, but bin ids then depend on it).
     """
     weights = weights or {"train": 95, "valid": 5}
+    # internal scoring/packing names: an input column with one of these
+    # names would be silently OVERWRITTEN by quality_features/lang_id and
+    # then returned with the internal value — refuse loudly instead (the
+    # same guard pack_rows applies to its output columns)
+    from .text import LANG_PROFILES
+
+    # Pipeline-OWNED outputs (pred_lang/quality_score/n_tokens/split/
+    # bin_id/...) are documented to replace same-named inputs cleanly.
+    # The scoring HELPERS are different: the docstring promises they are
+    # dropped, so a same-named input column would be silently returned
+    # holding the internal recomputed value — refuse loudly instead.
+    helpers = {"n_chars_calc", "n_pieces", "avg_token_len", "punct_ratio",
+               "digit_ratio", "stop_hits", "hits_zh"} \
+        | {f"hits_{lang}" for lang in LANG_PROFILES}
+    clash = sorted(set(df.columns) & helpers)
+    if clash:
+        raise ValueError(
+            f"curate_corpus: input columns {clash} collide with internal "
+            f"scoring helper columns — rename them first")
     audit: list[dict] = []
     prev_cached: list[DataFrame] = []
 

@@ -20,7 +20,6 @@ strategy:
 
 from __future__ import annotations
 
-from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -98,8 +97,13 @@ def _bucket_pairs(exploded: DataFrame, bucket_cols: list[str],
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
-                     broadcast_threshold: int | None = 10_000_000) -> DataFrame:
+                     broadcast_threshold: int | None = 10_000_000,
+                     max_ids_per_group: int | None = 10_000) -> DataFrame:
     """Groups of byte-identical (normalized) documents: (fingerprint, ids, n).
+
+    ``ids`` lists at most ``max_ids_per_group`` member ids (lowest first);
+    ``n`` is always the exact group multiplicity.  Pass ``None`` to collect
+    every id (unbounded arrays — only safe when no fingerprint is hot).
 
     The dup-fingerprint set is broadcast back onto the fact table only when
     a counted probe proves it fits (``table_checks.gated_broadcast``); a
@@ -107,10 +111,20 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     """
     fp = df.select(F.col(id_col), fingerprint_exact(F.col(text_col)).alias("fp"))
     dup_fps = tc.duplicate_keys(fp, ["fp"])  # salted two-phase count
-    return (fp.join(tc.gated_broadcast(dup_fps, broadcast_threshold), "fp")
-            .groupBy("fp")
+    joined = fp.join(tc.gated_broadcast(dup_fps, broadcast_threshold), "fp")
+    # Bound the collected id arrays: one boilerplate page byte-identical
+    # across 100M docs would otherwise materialize a 100M-element array in
+    # a single aggregation buffer.  The window ships the hot group through
+    # ONE spillable WindowExec buffer (the same trade _bucket_pairs makes)
+    # and the collect then sees at most max_ids_per_group rows; ``n`` stays
+    # the EXACT multiplicity from the salted count either way.
+    if max_ids_per_group is not None:
+        w = Window.partitionBy("fp").orderBy(id_col)
+        joined = (joined.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") <= max_ids_per_group))
+    return (joined.groupBy("fp")
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
-                 F.count(F.lit(1)).alias("n")))
+                 F.max("cnt").alias("n")))
 
 
 def distinct_by_content(df: DataFrame, id_col: str = "doc_id",
@@ -293,6 +307,14 @@ def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
 def _minhash_exploded(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int, bands: int, shingle_k: int,
                       engine: str = "arrow") -> DataFrame:
+    if bands <= 0 or num_hashes % bands != 0:
+        # fail at PLAN time with the real reason: unvalidated, the arrow
+        # kernel dies per-batch on an opaque numpy reshape error while the
+        # sql engine silently ignores the remainder permutations (and with
+        # bands > num_hashes hashes empty slices — every doc in one bucket)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})")
     if engine == "arrow":
         bk = df.select(
             F.col(id_col).alias("id"),
@@ -335,11 +357,14 @@ def minhash_oversized_buckets(df: DataFrame, id_col: str = "doc_id",
                               text_col: str = "text", num_hashes: int = 64,
                               bands: int = 16, shingle_k: int = 5,
                               max_bucket_size: int = DEFAULT_MAX_BUCKET,
-                              ) -> DataFrame:
+                              engine: str = "arrow") -> DataFrame:
     """(band, bucket, members) for every bucket the cap excluded — the
-    audit trail for what ``minhash_lsh_candidates`` skipped."""
+    audit trail for what ``minhash_lsh_candidates`` skipped.  Pass the
+    SAME ``engine`` as the candidates call: the two engines hash buckets
+    differently, so an arrow audit does not describe an sql run."""
     sizes = _bucket_sizes(
-        _minhash_exploded(df, id_col, text_col, num_hashes, bands, shingle_k),
+        _minhash_exploded(df, id_col, text_col, num_hashes, bands, shingle_k,
+                          engine),
         ["band", "bucket"])
     return sizes.where(F.col("members") > F.lit(max_bucket_size))
 
@@ -469,8 +494,11 @@ def simhash_chunks(sim: Column, chunks: int = 4, bits: int = 64) -> Column:
 
 def _simhash_exploded(df: DataFrame, id_col: str, text_col: str,
                       chunks: int) -> DataFrame:
-    s = df.select(F.col(id_col).alias("id"),
-                  simhash(text_col).alias("sim"))
+    # NULL text -> NULL signature, and groupBy treats NULL vals as equal:
+    # without this filter every NULL-text doc lands in ONE bucket and
+    # emits junk pairs with NULL hamming (the arrow minhash path drops
+    # NULL signatures via posexplode — keep the engines consistent)
+    s = df.where(F.col(text_col).isNotNull())           .select(F.col(id_col).alias("id"), simhash(text_col).alias("sim"))
     return s.select("id", "sim",
                     F.explode(simhash_chunks(F.col("sim"), chunks)).alias("c")) \
             .select("id", "sim", F.col("c.chunk").alias("chunk"),

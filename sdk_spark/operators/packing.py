@@ -53,12 +53,16 @@ def split_bucket(key_col: F.Column) -> F.Column:
     ``s*KNUTH mod 2^32``, which walks the full circle for any stride.
 
     SQL twin (DuckDB / ANSI, int64-exact):
-    ``((((key % 1000003) * 2654435761) % 4294967296) * 100) >> 32``.
+    ``(((((key % 1000003) + 1000003) % 1000003) * 2654435761)
+    % 4294967296) * 100 >> 32`` (the double-mod makes ``%`` behave as
+    pmod for negative keys; for non-negative keys it is the identity).
 
-    Spark's ``%`` keeps the dividend's sign (as does ANSI SQL), so a
-    negative key would bucket negative and fall outside every split band;
-    keys are ids here, which are non-negative by construction."""
-    h = ((key_col % _KEY_MOD) * F.lit(_KNUTH)) % F.lit(1 << 32)
+    ``pmod`` (not ``%``): Spark's ``%`` keeps the dividend's sign, so a
+    negative key — hash-derived ids like xxhash64 fingerprints are signed
+    and ~50% negative — would bucket negative, and ``b < acc`` in
+    ``hash_split`` would silently dump every such row into the FIRST
+    band regardless of weights."""
+    h = (F.pmod(key_col, F.lit(_KEY_MOD)) * F.lit(_KNUTH)) % F.lit(1 << 32)
     return F.shiftright(h * F.lit(100), 32)
 
 
@@ -200,8 +204,13 @@ def pack_rows(df: DataFrame, id_col: str = "doc_id",
     return out.mapInPandas(kernel, schema)
 
 
-def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+def pack_stats(packed: DataFrame, max_tokens: int,
+               tokens_col: str = "tok") -> DataFrame:
     """(bin_id, n_docs, total_tokens, utilization) — packing audit.
+
+    ``tokens_col`` names the token-count column: ``pack_sequences``
+    aliases it to ``tok`` (the default), while ``pack_rows`` keeps the
+    input column's own name — pass it through for that shape.
 
     ``utilization`` is truncated to 4 decimals via INT64 arithmetic
     (``tokens*10000 DIV budget``, then scaled back to double) so any SQL
@@ -209,7 +218,7 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     engine-specific at ties and breaks cross-engine audits."""
     return (packed.groupBy("bin_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum("tok").alias("total_tokens"))
+                 F.sum(tokens_col).alias("total_tokens"))
             .withColumn("utilization",
                         F.expr(f"CAST(total_tokens * 10000 DIV "
                                f"{int(max_tokens)} AS DOUBLE) / 10000")))

@@ -45,7 +45,6 @@ def token_count_bpe(col: Column) -> Column:
 
 
 def stopword_hits(col: Column, stopwords: list[str]) -> Column:
-    sw = [F.lit(s) for s in stopwords]
     return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords)))
 
 
@@ -114,10 +113,13 @@ def fingerprint_exact(col: Column) -> Column:
 
 def shingles_expr(text_col: str, k: int = 5) -> Column:
     """Character k-gram shingles as a SQL expression (dynamic substring
-    positions need expr-level lambdas)."""
+    positions need expr-level lambdas).  The column name is backquoted so
+    spaced/dotted/hyphenated names parse instead of injecting into the
+    expression (same pattern as sessions.epoch_micros)."""
+    q = text_col.replace("`", "``")
     return F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))")
+        f"transform(sequence(1, greatest(length(`{q}`) - {k - 1}, 1)),"
+        f" i -> substring(`{q}`, i, {k}))")
 
 
 def rolling_fingerprint(text_col: str, k: int = 8) -> Column:

@@ -509,3 +509,77 @@ def test_infer_decimal_bounds_are_strings_and_self_accepting(spark):
     node = doc["properties"]["d"]
     assert isinstance(node["minimum"], str) and isinstance(node["maximum"], str)
     assert check_schema(doc, extended=True) == []
+
+
+# -- LLM-tier operator review sweep (same session) ------------------------------
+
+
+def test_minhash_rejects_indivisible_bands(spark, ):
+    from sdk_spark.operators.dedup import minhash_lsh_candidates
+    df = spark.createDataFrame([(1, "aaaa"), (2, "bbbb")], "doc_id long, text string")
+    for engine in ("arrow", "sql"):
+        with pytest.raises(ValueError, match="multiple of"):
+            minhash_lsh_candidates(df, num_hashes=64, bands=12, engine=engine)
+        with pytest.raises(ValueError, match="multiple of"):
+            minhash_lsh_candidates(df, num_hashes=8, bands=16, engine=engine)
+
+
+def test_simhash_ignores_null_text(spark):
+    from sdk_spark.operators.dedup import simhash_candidates
+    rows = [(i, None) for i in range(6)] + [(10, "some shared text here"),
+                                            (11, "some shared text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in simhash_candidates(df).collect()}
+    assert got == {(10, 11)}  # NULL-text docs form no bucket, no junk pairs
+
+
+def test_split_bucket_handles_negative_keys(spark):
+    """Hash-derived ids (xxhash64) are signed; negative keys must spread
+    across bands, not silently dump into the first one."""
+    from sdk_spark.operators.packing import hash_split, split_bucket
+    df = spark.range(1, 3000).select((F.col("id") * -7919).alias("k"))
+    buckets = df.select(split_bucket(F.col("k")).alias("b"))
+    lo, hi, n = buckets.agg(F.min("b"), F.max("b"),
+                            F.countDistinct("b")).first()
+    assert lo >= 0 and hi <= 99 and n > 50
+    split = hash_split(df, "k", {"train": 95, "valid": 5})
+    frac = split.where(F.col("split") == "valid").count() / 2999
+    assert 0.02 < frac < 0.09  # the valid band is populated, roughly 5%
+
+
+def test_pack_stats_tokens_col(spark):
+    from sdk_spark.operators.packing import pack_rows, pack_stats
+    df = spark.createDataFrame([(i, "train", 100) for i in range(10)],
+                               "doc_id long, split string, n_toks long")
+    packed = pack_rows(df, id_col="doc_id", tokens_col="n_toks",
+                       max_tokens=250, num_partitions=1)
+    stats = pack_stats(packed, 250, tokens_col="n_toks").collect()
+    assert sum(r["n_docs"] for r in stats) == 10
+    assert all(r["total_tokens"] <= 250 for r in stats)
+
+
+def test_exact_duplicates_caps_ids_but_keeps_exact_n(spark):
+    from sdk_spark.operators.dedup import exact_duplicates
+    df = spark.createDataFrame([(i, "same text") for i in range(50)],
+                               "doc_id long, text string")
+    g = exact_duplicates(df, max_ids_per_group=5).collect()
+    assert len(g) == 1
+    assert g[0]["n"] == 50                       # exact multiplicity
+    assert g[0]["ids"] == [0, 1, 2, 3, 4]        # bounded, lowest-first
+    full = exact_duplicates(df, max_ids_per_group=None).collect()
+    assert full[0]["n"] == 50 and len(full[0]["ids"]) == 50
+
+
+def test_curate_rejects_colliding_input_columns(spark):
+    from sdk_spark.operators.curate import curate_corpus
+    df = spark.createDataFrame([(1, "text", 0.5)],
+                               "doc_id long, text string, punct_ratio double")
+    with pytest.raises(ValueError, match="collide"):
+        curate_corpus(df, report=False)
+
+
+def test_shingles_expr_quotes_column_names(spark):
+    from sdk_spark.operators.text import shingles_expr
+    df = spark.createDataFrame([("hello world",)], ["body text"])
+    row = df.select(shingles_expr("body text", 5).alias("s")).first()
+    assert row["s"][0] == "hello"
