@@ -59,6 +59,14 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
         if plan.root.get("type") != "object":
             raise SchemaCompileError("json auto path expects an object root")
         st = plan.struct_type()
+        clash = [k for k in key_cols if k in {f.name for f in st.fields}]
+        if clash:
+            # selecting key cols next to same-named doc fields would
+            # produce ambiguous duplicate columns (AnalysisException deep
+            # in the plan, with no fallback); the Arrow kernel keys
+            # violations by the DataFrame column correctly
+            raise SchemaCompileError(
+                f"key columns {clash} collide with schema properties")
         typed = df.select(*key_cols,
                           F.from_json(F.col(json_col), st).alias("__doc"),
                           F.col(json_col).alias("__raw"))
@@ -85,6 +93,35 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
             F.col(f"__doc.{f.name}").alias(f.name) for f in st.fields])
         validated = plan.validate(flat)
         viol = violation_rows(validated, key_cols).unionByName(bad)
+
+        # from_json NULLS any field it cannot coerce, and the compiled plan
+        # treats NULL as absent — so a present-but-mistyped non-required
+        # property would validate silently clean.  Recover kernel parity at
+        # the top level: the key LISTED in the document (json_object_keys
+        # reports it even for an explicit json null, which the kernel also
+        # flags as a type mismatch) while the typed field is NULL => the
+        # field existed but did not fit its declared type.  (Mismatches
+        # nested inside sub-structs still coerce to null silently — use the
+        # Arrow kernel when that distinction matters below the root.)
+        def _mism_entry(f):
+            raw_f = F.get_json_object(F.col("__raw"), f"$['{f.name}']")
+            present = F.array_contains(F.json_object_keys(F.col("__raw")),
+                                       f.name)
+            return F.when(
+                present & F.col(f"__doc.{f.name}").isNull(),
+                F.struct(F.lit(f"#/{f.name}").alias("path"),
+                         F.coalesce(F.substring(raw_f, 1, 128),
+                                    F.lit("null")).alias("value")))
+        mism = (typed.where(~parse_fail)
+                .select(*key_cols,
+                        F.explode(F.array(*[_mism_entry(f)
+                                            for f in st.fields])).alias("mv"))
+                .where(F.col("mv").isNotNull())
+                .select(*key_cols,
+                        F.lit("INSTANCE_TYPE_MISMATCH").alias("constraint_id"),
+                        F.col("mv.path").alias("path"),
+                        F.col("mv.value").alias("value")))
+        viol = viol.unionByName(mism)
 
         if plan.root.get("additionalProperties") is False:
             declared = list(plan.root.get("properties", {})) + list(_ROOT_RESERVED)
@@ -134,8 +171,8 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
                 "arrow")
     import json as _json
 
-    builtins = ("JSONStructureValidation", "JSONStructureConditionalComposition",
-                "JSONStructureAlternateNames", "JSONStructureUnits")
+    from ..rowcheck import BUILTIN_ADDINS as builtins
+
     meta = schema_doc.get("$schema", "")
     offers = schema_doc.get("$offers", {})
 
@@ -149,7 +186,10 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
         try:
             uses_list = _json.loads(u) if u else None
         except ValueError:
-            uses_list = None
+            # get_json_object strips the quotes from a string-valued
+            # $uses, so the raw text IS the single extension name
+            # (kernel parity: rowcheck wraps a non-list $uses)
+            uses_list = u
         if not isinstance(uses_list, list):
             uses_list = [uses_list] if isinstance(uses_list, str) else []
         branch_schema = dict(schema_doc)
@@ -164,7 +204,9 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
                     for x in uses_list):
                 extra.append(("INSTANCE_ADDIN_NOT_SUPPORTED",
                               _json.dumps(uses_list)))
-            props = dict(branch_schema.get("properties", {}))
+            declared = dict(branch_schema.get("properties", {}))
+            props = dict(declared)
+            conflict = False
             for x in uses_list:
                 if x in builtins:
                     continue
@@ -180,11 +222,19 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
                         node = _deref(g["$ref"])
                     if isinstance(node, dict):
                         for k, v in node.get("properties", {}).items():
+                            if k in declared:
+                                # add-in property conflicts with a declared
+                                # one: the kernel emits the proper finding
+                                # (rowcheck._apply_uses) — route this branch
+                                # there instead of silently overwriting
+                                conflict = True
                             props[k] = v
             branch_schema["properties"] = props
         cond = uses_expr.isNull() if u is None else (uses_expr == F.lit(u))
         subset = df.where(cond)
         try:
+            if uses_list and conflict:
+                raise SchemaCompileError("add-in property conflict")
             viol, path = validate_json_auto(subset, json_col, branch_schema,
                                             key_cols, extended=extended)
         except SchemaCompileError:
@@ -199,9 +249,18 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
                 F.lit("#").alias("path"),
                 F.lit(val).alias("value")))
         branches.append((viol, path))
+    if not branches:
+        # zero distinct $uses values == zero rows: an empty violations
+        # frame with the standard shape, not an IndexError
+        empty = df.select(
+            *key_cols,
+            F.lit(None).cast("string").alias("constraint_id"),
+            F.lit(None).cast("string").alias("path"),
+            F.lit(None).cast("string").alias("value")).where(F.lit(False))
+        return empty, "catalyst"
     out = branches[0][0]
     for viol, _p in branches[1:]:
         out = out.unionByName(viol)
-    mode = ("catalyst" if all(p == "catalyst" for _v, p in branches)
-            else "mixed")
+    paths = {p for _v, p in branches}
+    mode = paths.pop() if len(paths) == 1 else "mixed"
     return out, mode

@@ -20,6 +20,7 @@ recursive schemas).  Typed tables are validated by the Catalyst compiler
 
 from __future__ import annotations
 
+import decimal as _decimal
 import json
 import re
 import uuid as _uuid
@@ -123,7 +124,8 @@ class RowChecker:
         self._root_uses_conditionals = (
             isinstance(root, dict)
             and isinstance(root.get("$uses"), list)
-            and "JSONStructureConditionalComposition" in root["$uses"]
+            and (self.is_extended_meta            # auto-appended addins
+                 or "JSONStructureConditionalComposition" in root["$uses"])
         )
 
     # -- public API ----------------------------------------------------------
@@ -304,8 +306,14 @@ class RowChecker:
                 for u in ("JSONStructureConditionalComposition", "JSONStructureValidation")))
         )
         if self.is_extended_meta and any(k in schema for k in CONDITIONAL_KEYWORDS):
+            # reference parity: under the extended metaschema every node
+            # WITH a $uses list auto-gains all built-in addins (the
+            # reference literally appends them, instance_validator.py:
+            # 130-144), so requiring ConditionalComposition to be listed
+            # EXPLICITLY falsely failed $uses:["JSONStructureUnits"]-style
+            # schemas; the compiler's gate already checks list-ness only
             su = schema.get("$uses")
-            if not (isinstance(su, list) and "JSONStructureConditionalComposition" in su):
+            if not isinstance(su, list):
                 out.append(Finding(E.INSTANCE_CONDITIONAL_FAILED, path,
                                    "conditional composition not enabled"))
                 return
@@ -328,6 +336,10 @@ class RowChecker:
 
     # -- conditional composition ------------------------------------------------
     def _inherit_uses(self, sub: dict) -> dict:
+        if not isinstance(sub, dict):
+            # non-dict branches are reported as SCHEMA_INVALID_TYPE by
+            # _node's own guard — do not crash on dict('bogus') here
+            return sub
         root_uses = self.root.get("$uses")
         if not root_uses:
             return sub
@@ -407,7 +419,11 @@ class RowChecker:
                 try:
                     if m is None or op(v, m):
                         out.append(Finding(code, path, value))
-                except TypeError:
+                except (TypeError, _decimal.InvalidOperation):
+                    # Decimal('NaN') comparisons raise InvalidOperation, an
+                    # ArithmeticError that escaped the TypeError catch and
+                    # killed the task on one poison row; the reference
+                    # records a cannot-compare error instead
                     out.append(Finding(code, path, value))
 
         cmp_fail("minimum", E.INSTANCE_NUMBER_MINIMUM, lambda a, m: a < m)

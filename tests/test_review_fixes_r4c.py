@@ -583,3 +583,107 @@ def test_shingles_expr_quotes_column_names(spark):
     df = spark.createDataFrame([("hello world",)], ["body text"])
     row = df.select(shingles_expr("body text", 5).alias("s")).first()
     assert row["s"][0] == "hello"
+
+
+# -- rowcheck kernel + auto-plan review sweep (same session) --------------------
+
+
+def test_kernel_nan_decimal_bound_does_not_crash():
+    from sdk_spark.rowcheck import RowChecker
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/validation/v0/#",
+           "type": "decimal", "minimum": 0}
+    out = RowChecker(doc).check("NaN")  # poison row must not kill the task
+    assert any(f.code == "INSTANCE_NUMBER_MINIMUM" for f in out)
+
+
+def test_kernel_extended_meta_uses_enables_conditionals():
+    """Under the extended metaschema the reference auto-appends ALL addins
+    to any node's $uses list, so $uses:['JSONStructureUnits'] + allOf must
+    validate clean — the kernel falsely failed the conditional gate."""
+    import sys
+    sys.path.insert(0, "/root/reference/python/src")
+    from json_structure.instance_validator import (
+        JSONStructureInstanceValidator)
+    from sdk_spark.rowcheck import RowChecker
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/extended/v0/#",
+           "$uses": ["JSONStructureUnits"],
+           "type": "string", "allOf": [{"type": "string"}]}
+    import copy
+    ref = JSONStructureInstanceValidator(copy.deepcopy(doc),
+                                         extended=True).validate("x")
+    ours = RowChecker(copy.deepcopy(doc), extended=True).check("x")
+    assert ref == [] and ours == []
+
+
+def test_kernel_non_dict_composition_branch_is_a_finding():
+    from sdk_spark.rowcheck import RowChecker
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/validation/v0/#",
+           "$uses": ["JSONStructureValidation"],
+           "type": "string", "allOf": ["bogus"]}
+    out = RowChecker(doc).check("x")  # must not raise ValueError(dict('bogus'))
+    assert isinstance(out, list)
+
+
+def test_json_auto_key_col_collision_falls_back_to_arrow(spark):
+    from sdk_spark.plans.auto import validate_json_auto
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/core/v0/#",
+           "type": "object", "name": "R",
+           "properties": {"id": {"type": "string"},
+                          "v": {"type": "int32"}}}
+    df = spark.createDataFrame([("k1", '{"id": "k1", "v": 1}'),
+                                ("k2", '{"id": "k2", "v": "bad"}')],
+                               "id string, doc string")
+    viol, path = validate_json_auto(df, "doc", doc, ["id"])
+    assert path == "arrow"  # no AMBIGUOUS_REFERENCE crash
+    assert viol.where(F.col("id") == "k2").count() >= 1
+
+
+def test_json_auto_flags_mistyped_optional_field(spark):
+    """from_json nulls uncoercible fields; the catalyst path must still
+    report the type mismatch the kernel reports."""
+    from sdk_spark.operators.jsonbatch import validate_json_column
+    from sdk_spark.plans.auto import validate_json_auto
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/core/v0/#",
+           "type": "object", "name": "R",
+           "properties": {"a": {"type": "int32"}}}
+    df = spark.createDataFrame(
+        [("r1", '{"a": "abc"}'),     # present, wrong type: must flag
+         ("r2", '{"a": 3}'),         # fine
+         ("r3", '{}'),               # absent: clean (not required)
+         ("r4", '{"a": null}')],     # explicit null: kernel flags it too
+        "k string, doc string")
+    viol, path = validate_json_auto(df, "doc", doc, ["k"])
+    assert path == "catalyst"
+    got = {(r["k"], r["constraint_id"]) for r in viol.collect()}
+    assert got == {("r1", "INSTANCE_TYPE_MISMATCH"),
+                   ("r4", "INSTANCE_TYPE_MISMATCH")}
+    kernel = {(r["k"], r["constraint_id"])
+              for r in validate_json_column(df, "doc", doc,
+                                            key_cols=["k"]).collect()}
+    assert got == kernel
+
+
+def test_instance_uses_empty_and_string_forms(spark):
+    from sdk_spark.plans.auto import validate_json_with_instance_uses
+    doc = {"$id": "https://x/s",
+           "$schema": "https://json-structure.org/meta/extended/v0/#",
+           "type": "object", "name": "R", "additionalProperties": False,
+           "properties": {"a": {"type": "int32"}},
+           "$offers": {"Extra": {"type": "object", "name": "X",
+                                 "properties": {"extra": {"type": "int32"}}}}}
+    empty = spark.createDataFrame([], "k string, doc string")
+    viol, mode = validate_json_with_instance_uses(empty, "doc", doc, ["k"])
+    assert viol.count() == 0  # no IndexError on zero branches
+    # string-valued $uses enables the offered addin (kernel parity)
+    df = spark.createDataFrame(
+        [("r1", '{"$uses": "Extra", "a": 1, "extra": 2}')],
+        "k string, doc string")
+    viol, _ = validate_json_with_instance_uses(df, "doc", doc, ["k"],
+                                               extended=True)
+    assert viol.where(
+        F.col("constraint_id") == "INSTANCE_ADDITIONAL_PROPERTY").count() == 0
