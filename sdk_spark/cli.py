@@ -56,7 +56,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--check-pixels", action="store_true",
                    help="enable the decoded-pixel/caption invariant kernel")
     p.add_argument("--psnr-threshold", type=float, default=40.0)
-    p.add_argument("--extended", action="store_true", default=True)
+    p.add_argument("--extended", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="extended metaschema semantics (--no-extended for "
+                        "the strict core profile)")
     p.add_argument("--max-partitions", type=int, default=None,
                    help="validate at most N uncommitted partitions (smoke runs)")
     p.add_argument("--importmap", action="append", default=[],
@@ -132,10 +135,11 @@ def emit_report(located: list[dict], fmt: str, quiet: bool,
 
 
 def _read_input(spark, input_arg: str):
-    """parquet path or ``table:<name>`` — the ONE place this is decided."""
-    if input_arg.startswith("table:"):
-        return spark.table(input_arg.removeprefix("table:"))
-    return spark.read.parquet(input_arg)
+    """parquet path or ``table:<name>`` — delegated to the sources reader
+    so the CLI and library cannot drift on scheme handling."""
+    from .sources.readers import read_table
+
+    return read_table(spark, input_arg)
 
 
 def _run_infer(args) -> int:
@@ -224,16 +228,57 @@ def main(argv: list[str] | None = None) -> int:
     plan = CompiledSchema(schema_doc, extended=args.extended,
                           external_schemas=external or None)
 
+    key_col = (args.unique_key[0] if args.unique_key
+               else ("image_id" if "image_id" in df.columns
+                     else df.columns[0]))
+    if args.check_pixels and key_col != "image_id":
+        print("ERROR: --check-pixels keys its violations by image_id; "
+              f"--unique-key {key_col} would make unionByName fail — "
+              "use image_id as the (first) unique key", file=sys.stderr)
+        return 2
+
+    # --unique-key means TABLE-unique: with --partition-col, per-slice
+    # checks would miss duplicates spanning two partitions, so the
+    # duplicate-key set is computed ONCE over the full input, persisted,
+    # and each partition's rows are matched against it.
+    global_dups = None
+    if args.unique_key and args.partition_col:
+        from pyspark import StorageLevel
+        from pyspark.sql import functions as F
+
+        global_dups = (tc.duplicate_keys(df, args.unique_key)
+                       .select(*[F.col(k).alias(f"__gk_{i}")
+                                 for i, k in enumerate(args.unique_key)])
+                       .persist(StorageLevel.MEMORY_AND_DISK))
+        global_dups.count()  # ONE full-table pass; every partition reuses it
+
     def validate_fn(pdf):
         # metrics ride the violations write via Observation — one scan per
         # partition instead of a metrics action plus a write action
         validated, metrics = observe_metrics(plan.validate(pdf))
-        viol = violation_rows(validated, [args.unique_key[0]] if args.unique_key
-                              else [df.columns[0]])
+        viol = violation_rows(validated, [key_col])
         if args.unique_key:
-            viol = viol.unionByName(
-                tc.unique_violations(pdf, args.unique_key)
-                .select(*viol.columns[:1], "constraint_id", "path", "value"))
+            if global_dups is not None:
+                from functools import reduce as _reduce
+
+                from pyspark.sql import functions as F
+
+                cond = _reduce(lambda a, b: a & b,
+                               [pdf[k].eqNullSafe(global_dups[f"__gk_{i}"])
+                                for i, k in enumerate(args.unique_key)])
+                uv = (pdf.join(global_dups, cond, "inner")
+                      .select(pdf[key_col].alias(key_col),
+                              F.lit("ENGINE_UNIQUE_VIOLATION")
+                              .alias("constraint_id"),
+                              F.lit("#/" + ",".join(args.unique_key))
+                              .alias("path"),
+                              F.concat_ws("|", *[pdf[k].cast("string")
+                                                 for k in args.unique_key])
+                              .alias("value")))
+            else:
+                uv = tc.unique_violations(pdf, args.unique_key) \
+                    .select(key_col, "constraint_id", "path", "value")
+            viol = viol.unionByName(uv)
         if args.check_pixels:
             from .operators.multimodal import pixel_caption_invariants
 
@@ -247,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, df, args.partition_col, args.manifest, args.violations,
             validate_fn, schema_doc=schema_doc, input_path=args.input,
             max_partitions=args.max_partitions)
+        if global_dups is not None:
+            global_dups.unpersist(False)
         print(json.dumps({"run_id": run.run_id,
                           "processed": run.processed,
                           "skipped_committed": run.skipped}))

@@ -78,12 +78,20 @@ def audio_features(df: DataFrame, id_col: str = "media_id",
                 except (ValueError, NotImplementedError):
                     rows.append((mid, None, None, None, None, None, None, False))
                     continue
+                if not rate or rate <= 0:
+                    # a declared sample rate of 0 would ZeroDivisionError
+                    # the duration below and abort the task — it is a
+                    # malformed clip, not a crash
+                    rows.append((mid, None, None, None, None, None, None, False))
+                    continue
                 mono = samples.mean(axis=1)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(mono))))) \
                     if len(mono) > 1 else 0.0
+                rms = (float(np.sqrt(np.mean(mono ** 2)))
+                       if len(mono) else 0.0)  # empty clip: 0, not NaN
                 rows.append((mid, rate, samples.shape[1],
                              samples.shape[0] / rate,
-                             float(np.sqrt(np.mean(mono ** 2))),
+                             rms,
                              float(np.max(np.abs(mono))) if len(mono) else 0.0,
                              zc, True))
             yield pd.DataFrame(rows, columns=[f.name for f in
@@ -103,7 +111,6 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .multimodal import decode_image, encode_image
 
-        ys = None
         for pdf in batches:
             rows = []
             for iid, payload in zip(pdf["image_id"], pdf[bytes_col]):
@@ -171,46 +178,51 @@ def sample_frames(df: DataFrame, every_n: int = 2,
         from ..functions.gif import decode_gif_frames
         from ..functions.png import decode_png, encode_png
 
+        def frames_of(payload: bytes) -> list[tuple[int, bytes, float]]:
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                gframes, _, _ = decode_gif_frames(payload)
+                return [(idx, encode_png(gframes[idx]),
+                         float(gframes[idx].mean()))
+                        for idx in range(0, len(gframes), every_n)]
+            if (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
+                    and payload[12:16] == b"VP8X" and len(payload) > 20
+                    and payload[20] & 0x02):   # VP8X animation flag
+                from ..functions.webp import decode_webp_frames
+
+                wframes, _, _ = decode_webp_frames(payload)
+                out = []
+                for idx in range(0, len(wframes), every_n):
+                    rgb = wframes[idx][..., :3]
+                    out.append((idx, encode_png(rgb), float(rgb.mean())))
+                return out
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                from ..functions.avi import decode_avi_frames
+                from ..functions.jpeg import decode_jpeg
+
+                jpegs, _, _ = decode_avi_frames(payload)
+                out = []
+                for idx in range(0, len(jpegs), every_n):
+                    arr = decode_jpeg(jpegs[idx])
+                    out.append((idx, encode_png(arr), float(arr.mean())))
+                return out
+            frames = _demux_rawv(payload)   # non-RAWV: NotImplementedError
+            return [(idx, frames[idx], float(decode_png(frames[idx]).mean()))
+                    for idx in range(0, len(frames), every_n)]
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf[bytes_col]):
                 if payload is None:
                     continue
-                payload = bytes(payload)
-                if payload[:6] in (b"GIF87a", b"GIF89a"):
-                    gframes, _, _ = decode_gif_frames(payload)
-                    for idx in range(0, len(gframes), every_n):
-                        rows.append((mid, idx, encode_png(gframes[idx]),
-                                     float(gframes[idx].mean())))
-                    continue
-                if (payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
-                        and payload[12:16] == b"VP8X" and len(payload) > 20
-                        and payload[20] & 0x02):   # VP8X animation flag
-                    from ..functions.webp import decode_webp_frames
-
-                    wframes, _, _ = decode_webp_frames(payload)
-                    for idx in range(0, len(wframes), every_n):
-                        rgb = wframes[idx][..., :3]
-                        rows.append((mid, idx, encode_png(rgb),
-                                     float(rgb.mean())))
-                    continue
-                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-                    from ..functions.avi import decode_avi_frames
-                    from ..functions.jpeg import decode_jpeg
-
-                    jpegs, _, _ = decode_avi_frames(payload)
-                    for idx in range(0, len(jpegs), every_n):
-                        arr = decode_jpeg(jpegs[idx])
-                        rows.append((mid, idx, encode_png(arr),
-                                     float(arr.mean())))
-                    continue
                 try:
-                    frames = _demux_rawv(payload)
-                except NotImplementedError:
-                    continue  # non-RAWV containers skipped (documented)
-                for idx in range(0, len(frames), every_n):
-                    arr = decode_png(frames[idx])
-                    rows.append((mid, idx, frames[idx], float(arr.mean())))
+                    got = frames_of(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    # corrupt/truncated container (or a non-RAWV format):
+                    # zero frames for this row — the same per-row
+                    # degradation audio_features and resize_images apply,
+                    # never a task abort
+                    continue
+                rows.extend((mid, idx, png, luma) for idx, png, luma in got)
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               FRAME_SAMPLE_SCHEMA.fields])
 

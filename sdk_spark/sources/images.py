@@ -22,7 +22,8 @@ i % 100 == 7         caption = NULL                             INSTANCE_REQUIRE
 i % 100 == 8         image_id duplicates row i-1                ENGINE_UNIQUE_VIOLATION
 i % 100 == 9         pixel noise (PSNR < 40 dB vs reference)    ENGINE_PIXEL_MISMATCH
 i % 100 == 10        caption mutated vs reference               ENGINE_CAPTION_MISMATCH
-i % 10  in (0,1,2)   solid-color image → one hot phash          (skew stressor, no violation)
+~30% (hash-gated)   solid-color image → one hot phash          (skew stressor, no violation;
+                     gate: (crc32(image_id) >> 8) % 10 < 3 — id-derived, NOT i % 10)
 ==================  ==========================================  =========================
 """
 

@@ -687,3 +687,92 @@ def test_instance_uses_empty_and_string_forms(spark):
                                                extended=True)
     assert viol.where(
         F.col("constraint_id") == "INSTANCE_ADDITIONAL_PROPERTY").count() == 0
+
+
+# -- cli / media review sweep (same session) ------------------------------------
+
+
+def test_audio_features_rate_zero_and_empty_degrade(spark):
+    import struct
+    from sdk_spark.operators.media import audio_features
+
+    def wav(rate, n):
+        data = b"\x00\x00" * n
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 16) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    df = spark.createDataFrame(
+        [("zero_rate", bytearray(wav(0, 4))),
+         ("empty", bytearray(wav(8000, 0))),
+         ("ok", bytearray(wav(8000, 16)))],
+        "media_id string, bytes binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert got["zero_rate"]["decode_ok"] is False   # not ZeroDivisionError
+    assert got["empty"]["rms"] == 0.0               # not NaN
+    assert got["ok"]["decode_ok"] is True
+
+
+def test_sample_frames_corrupt_payload_degrades(spark):
+    from sdk_spark.functions.gif import encode_gif
+    from sdk_spark.operators.media import sample_frames
+    import numpy as np
+    good = encode_gif(np.zeros((4, 4, 3), dtype=np.uint8))
+    rows = [("good", bytearray(good)),
+            ("trunc", bytearray(good[:12])),        # truncated GIF
+            ("junk", bytearray(b"GIF89a" + b"\xff" * 4))]
+    df = spark.createDataFrame(rows, "media_id string, bytes binary")
+    got = {r["media_id"] for r in sample_frames(df, every_n=1).collect()}
+    assert got == {"good"}  # corrupt rows yield zero frames, no task abort
+
+
+def test_cli_unique_key_spans_partitions(spark, tmp_path):
+    """--unique-key is TABLE-unique: a duplicate key split across two
+    partitions must be reported even on the resumable per-partition path."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+    spark.range(0, 20).select(
+        F.when(F.col("id") == 11, F.lit("dup"))
+         .when(F.col("id") == 4, F.lit("dup"))
+         .otherwise(F.concat(F.lit("k"), F.col("id"))).alias("image_id"),
+        (F.col("id") % 2).cast("string").alias("day"),
+        (F.col("id") % 50).cast("int").alias("w")
+    ).write.mode("overwrite").parquet(str(tmp_path / "in"))
+    schema = {"$id": "https://x/s",
+              "$schema": "https://json-structure.org/meta/extended/v0/#",
+              "type": "object", "name": "R",
+              "properties": {"image_id": {"type": "string"},
+                             "day": {"type": "string"},
+                             "w": {"type": "int32"}}}
+    (tmp_path / "schema.json").write_text(_json.dumps(schema))
+    import os
+    r = subprocess.run(
+        [sys.executable, "/root/repo/validate_job.py",
+         "--schema", str(tmp_path / "schema.json"),
+         "--input", str(tmp_path / "in"),
+         "--violations", str(tmp_path / "viol"),
+         "--manifest", str(tmp_path / "man"),
+         "--partition-col", "day", "--unique-key", "image_id"],
+        capture_output=True, text=True,
+        env={**os.environ, "PYTHONPATH": "/root/repo"})
+    assert r.returncode == 0, r.stderr[-500:]
+    viol = spark.read.parquet(str(tmp_path / "viol"))
+    dup_rows = viol.where(
+        (F.col("constraint_id") == "ENGINE_UNIQUE_VIOLATION")
+        & (F.col("image_id") == "dup"))
+    # rows 4 (day=0) and 11 (day=1) — cross-partition, BOTH reported
+    assert dup_rows.count() == 2
+    # partition values read back type-inferred from the dir names
+    assert {str(r["day"]) for r in dup_rows.collect()} == {"0", "1"}
+
+
+def test_cli_no_extended_flag_parses():
+    from sdk_spark.cli import build_arg_parser
+    args = build_arg_parser().parse_args(["--schema", "s", "--no-extended"])
+    assert args.extended is False
+    args = build_arg_parser().parse_args(["--schema", "s"])
+    assert args.extended is True
