@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from sdk_spark.operators.sessions import session_stats, sessionize
 
 
@@ -50,13 +52,86 @@ def test_session_stats(spark):
     assert out[1]["n_events"] == 1 and out[1]["duration_us"] == 0
 
 
-def test_sessionize_plan_one_exchange(spark):
-    """lag + running sum share one partition/order spec: ONE exchange,
-    ONE sort, a single Window operator chain — no Python."""
+def test_sessionize_legacy_plan_one_exchange(spark):
+    """chunk_gaps=None: lag + running sum share one partition/order spec —
+    ONE exchange, ONE sort, a single Window operator chain, no Python."""
     df = evts(spark, [(m(0), 1), (m(1), 2)])
-    text = sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    text = sessionize(df, chunk_gaps=None) \
+        ._jdf.queryExecution().executedPlan().toString()
     assert text.count("Exchange") == 1, text
     assert "Python" not in text
+
+
+def _ids(df):
+    return {(r["user_id"], r["event_id"]): r["session_id"]
+            for r in df.collect()}
+
+
+def _random_walk(n=400, users=3, seed=7):
+    """Deterministic adversarial walk: bursts, dead air, exact-boundary
+    gaps, equal timestamps (tiebreak), pre-epoch start."""
+    import random
+
+    rng = random.Random(seed)
+    rows, t = [], {u: dt.datetime(1969, 12, 31, 22, 0) for u in range(users)}
+    for _ in range(n):
+        u = rng.randrange(users)
+        step = rng.choice([0, 1, 29, 30, 31, 60, 300,
+                           30 * 16, 30 * 16 + 1])  # minutes; incl. chunk edges
+        t[u] = t[u] + dt.timedelta(minutes=step)
+        rows.append((t[u], u))
+    return rows
+
+
+def test_sessionize_chunked_matches_legacy(spark):
+    """The skew-safe (key, chunk) plan is bit-identical to the single
+    window — for the default width AND the pathological 1-gap chunks
+    where every session spans a merge chain."""
+    df = evts(spark, _random_walk())
+    want = _ids(sessionize(df, gap_minutes=30, chunk_gaps=None))
+    assert _ids(sessionize(df, gap_minutes=30)) == want
+    assert _ids(sessionize(df, gap_minutes=30, chunk_gaps=1)) == want
+
+
+def test_sessionize_merge_chain_across_chunks(spark):
+    """One unbroken session crossing many chunk boundaries (chunk = 1 gap;
+    events every 10 min for 5 h) collapses to a single id."""
+    rows = [(m(10 * i), 1) for i in range(31)]
+    got = sessionize(evts(spark, rows), gap_minutes=30, chunk_gaps=1)
+    assert {r["session_id"] for r in got.collect()} == {0}
+
+
+def test_sessionize_boundary_gap_across_chunks(spark):
+    """Exactly-gap spacing that ALSO lands on a chunk boundary stays in
+    one session; one extra microsecond splits (same rule as in-chunk)."""
+    rows = [(m(0), 1), (m(30 * 16), 1),                 # chunk edge, gap>30
+            (m(30 * 17), 1),                            # exactly gap later
+            (m(30 * 18) + dt.timedelta(microseconds=1), 1)]
+    got = [r["session_id"] for r in
+           sessionize(evts(spark, rows), gap_minutes=30)
+           .orderBy("event_id").collect()]
+    assert got == [0, 1, 1, 2]
+
+
+def test_sessionize_hot_key_is_split(spark):
+    """VERDICT r4 #3: a bot key holding 50% of all events must NOT funnel
+    through a single task — its rows come out of the (key, chunk) window
+    spread across partitions, and the ids still match the legacy plan."""
+    bot = [(m(2 * i), 99) for i in range(600)]          # 20 h of bot traffic
+    rest = [(m(7 * i), u) for u in range(1, 5) for i in range(150)]
+    df = evts(spark, bot + rest).repartition(8)
+    chunked = sessionize(df, gap_minutes=30)
+    assert _ids(chunked) == _ids(sessionize(df, gap_minutes=30,
+                                            chunk_gaps=None))
+    pids = (chunked.where(F.col("user_id") == 99)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct().count())
+    assert pids > 1, "hot key still funnels through one task"
+    text = chunked._jdf.queryExecution().executedPlan().toString()
+    # the event-grain window partitions by (key, chunk), never key alone
+    win = [ln for ln in text.splitlines()
+           if "Window" in ln and "windowspecdefinition(user_id" in ln]
+    assert win and all("__chunk" in ln for ln in win), text
 
 
 def test_epoch_micros_ntz_pinned_values(spark):
