@@ -39,6 +39,11 @@ from . import table_checks as tc
 #: nothing. Use ``oversized_buckets`` to report what was dropped.
 DEFAULT_MAX_BUCKET = 1000
 
+#: hash-salt fan-out for the exact-dedup partial top-n: a hot fingerprint's
+#: final aggregation buffers hold ≤ group_size/_TOPN_SALTS ids each (spread
+#: over reducers), and the merge level sees ≤ _TOPN_SALTS arrays per group.
+_TOPN_SALTS = 1024
+
 
 def _cap_buckets(exploded: DataFrame, bucket_cols: list[str],
                  max_bucket_size: int | None) -> DataFrame:
@@ -114,14 +119,27 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     joined = fp.join(tc.gated_broadcast(dup_fps, broadcast_threshold), "fp")
     # Bound the collected id arrays: one boilerplate page byte-identical
     # across 100M docs would otherwise materialize a 100M-element array in
-    # a single aggregation buffer.  The window ships the hot group through
-    # ONE spillable WindowExec buffer (the same trade _bucket_pairs makes)
-    # and the collect then sees at most max_ids_per_group rows; ``n`` stays
-    # the EXACT multiplicity from the salted count either way.
+    # a single aggregation buffer.  Two-level salted partial top-n (the
+    # r4 global ``row_number().over(partitionBy(fp))`` streamed the whole
+    # hot group through ONE task's WindowExec sort before dropping rows):
+    # level 1 keeps the n lowest ids per (fp, hash-salt) — every final
+    # aggregation buffer holds ≤ group_size/SALTS ids, spread across
+    # reducers — and level 2 merges ≤ SALTS sorted arrays of ≤ n ids per
+    # fingerprint.  ``n`` stays the EXACT multiplicity from the salted
+    # count either way, and "the n lowest ids overall" is order-insensitive
+    # so the result is bit-identical to the windowed form.
     if max_ids_per_group is not None:
-        w = Window.partitionBy("fp").orderBy(id_col)
-        joined = (joined.withColumn("__rn", F.row_number().over(w))
-                  .where(F.col("__rn") <= max_ids_per_group))
+        n = int(max_ids_per_group)
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_TOPN_SALTS))
+        partial = (joined
+                   .groupBy("fp", salt.alias("__salt"))
+                   .agg(F.slice(F.sort_array(F.collect_list(id_col)),
+                                1, n).alias("__ids"),
+                        F.max("cnt").alias("cnt")))
+        return (partial.groupBy("fp")
+                .agg(F.slice(F.sort_array(F.flatten(F.collect_list("__ids"))),
+                             1, n).alias("ids"),
+                     F.max("cnt").alias("n")))
     return (joined.groupBy("fp")
             .agg(F.sort_array(F.collect_list(id_col)).alias("ids"),
                  F.max("cnt").alias("n")))
