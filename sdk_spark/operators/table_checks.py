@@ -137,25 +137,42 @@ def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def unique_violations(df: DataFrame, keys: list[str],
-                      broadcast_threshold: int | None = DEFAULT_BROADCAST_ROWS
-                      ) -> DataFrame:
+                      broadcast_threshold: int | None = DEFAULT_BROADCAST_ROWS,
+                      strategy: str = "auto") -> DataFrame:
     """Violation rows for every row whose key is duplicated.
 
     The duplicate-key set is usually tiny → broadcast it back onto the fact
-    table (no second shuffle of the big side) — but only after a counted
-    probe proves it fits (``gated_broadcast``); a heavily-duplicated table
-    falls back to a shuffle join instead of OOMing the driver. Pass
-    ``broadcast_threshold=None`` to force the shuffle path.
+    table (no second shuffle of the big side).  ``strategy`` picks who
+    decides that:
+
+    * ``"probe"`` — ``gated_broadcast``'s counted probe proves the set fits
+      before hinting.  The probe is an eager extra job evaluating the whole
+      dup aggregation once (a full scan+shuffle pass) before the real query
+      runs — the right shape only when the plan is reused many times.
+    * ``"aqe"`` — no probe: adaptive execution converts the back-join to
+      broadcast at runtime from the dup aggregation's ACTUAL shuffle size,
+      and leaves it a shuffle join when the corpus is heavily duplicated
+      (the same OOM guard, decided from real sizes for free).
+    * ``"auto"`` (default) — ``"aqe"`` when the session has adaptive
+      execution enabled, else ``"probe"``.
+
+    ``broadcast_threshold=None`` forces the shuffle path outright.
     """
+    if strategy == "auto":
+        adaptive = df.sparkSession.conf.get("spark.sql.adaptive.enabled",
+                                            "true")
+        strategy = "aqe" if str(adaptive).lower() == "true" else "probe"
+    if strategy not in ("aqe", "probe"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     dups = duplicate_keys(df, keys)
     # Null-safe rejoin: duplicate_keys groups NULL keys (groupBy treats
     # NULLs as equal — the same semantics as a SQL window PARTITION BY), so
     # the back-join must match them too or NULL-key duplicates silently
     # vanish from the violation rows.
-    right = gated_broadcast(
-        dups.select(*[F.col(k).alias(f"__dk_{i}") for i, k in enumerate(keys)],
-                    "cnt"),
-        broadcast_threshold)
+    right = dups.select(*[F.col(k).alias(f"__dk_{i}")
+                          for i, k in enumerate(keys)], "cnt")
+    if strategy == "probe" or broadcast_threshold is None:
+        right = gated_broadcast(right, broadcast_threshold)
     cond = reduce(lambda a, b: a & b,
                   [df[k].eqNullSafe(right[f"__dk_{i}"])
                    for i, k in enumerate(keys)])

@@ -105,3 +105,23 @@ def test_phash_skew_exists(spark):
     df = generate_images(spark, 300, partitions=4, plant=False)
     top = (df.groupBy("phash").count().orderBy(F.desc("count")).first())
     assert top["count"] > 30  # one hot key exists
+
+
+def test_unique_strategy_parity(spark):
+    """The probe-free AQE uniqueness path (VERDICT r4 #2) returns exactly
+    the counted-probe path's violations, and in 'auto' the adaptive
+    session selects it (no eager probe job at plan-build time)."""
+    df = generate_images(spark, 200, partitions=4)
+    a = validate_images(df, unique_strategy="aqe")
+    b = validate_images(df, unique_strategy="probe")
+    key = lambda res: sorted((r["image_id"], r["constraint_id"])
+                             for r in res.violations.collect())
+    assert key(a) == key(b)
+    va = sorted(tuple(r) for r in a.verdicts.collect())
+    vb = sorted(tuple(r) for r in b.verdicts.collect())
+    assert va == vb
+    a.unpersist()
+    b.unpersist()
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unique_strategy"):
+        validate_images(df, unique_strategy="bogus")

@@ -76,12 +76,17 @@ def test_gated_broadcast_falls_back_and_matches(spark, skewed_docs):
     df = skewed_docs.withColumn("k", F.when(F.col("doc_id") < 200, F.lit(0))
                                       .otherwise(F.col("doc_id")))
     # threshold 0 → probe always exceeds → shuffle-join fallback
-    shuffled = unique_violations(df, ["k"], broadcast_threshold=0)
+    shuffled = unique_violations(df, ["k"], broadcast_threshold=0,
+                                 strategy="probe")
     # generous threshold → probe passes → broadcast path
-    bcast = unique_violations(df, ["k"], broadcast_threshold=10_000)
+    bcast = unique_violations(df, ["k"], broadcast_threshold=10_000,
+                              strategy="probe")
+    # probe-free: AQE decides from the dup agg's runtime shuffle size
+    aqe = unique_violations(df, ["k"], strategy="aqe")
     rows_s = sorted((r["k"], r["multiplicity"]) for r in shuffled.collect())
     rows_b = sorted((r["k"], r["multiplicity"]) for r in bcast.collect())
-    assert rows_s == rows_b
+    rows_a = sorted((r["k"], r["multiplicity"]) for r in aqe.collect())
+    assert rows_s == rows_b == rows_a
     assert rows_s and all(k == 0 and m == 200 for k, m in rows_s)
     # the physical plans actually diverge: broadcast hint present only once
     assert "Broadcast" in bcast._jdf.queryExecution().executedPlan().toString()
