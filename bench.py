@@ -222,7 +222,7 @@ def main() -> None:
     # warm the JVM + parquet footers + python workers once (excluded)
     spark.read.parquet(f"{data_dir}/lineitem.parquet").count()
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     total = 0.0

@@ -126,10 +126,15 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
     # aggregation buffer holds ≤ group_size/SALTS ids, spread across
     # reducers — and level 2 merges ≤ SALTS sorted arrays of ≤ n ids per
     # fingerprint.  ``n`` stays the EXACT multiplicity from the salted
-    # count either way, and "the n lowest ids overall" is order-insensitive
-    # so the result is bit-identical to the windowed form.
+    # count either way.  (One deliberate delta vs the r4 windowed form:
+    # NULL ids no longer consume cap slots there before collect_list
+    # dropped them — the cap now means "up to n listed ids", which is the
+    # documented contract.)
     if max_ids_per_group is not None:
         n = int(max_ids_per_group)
+        if n < 1:
+            raise ValueError("max_ids_per_group must be >= 1 "
+                             "(or None to collect every id)")
         salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(_TOPN_SALTS))
         partial = (joined
                    .groupBy("fp", salt.alias("__salt"))

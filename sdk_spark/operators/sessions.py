@@ -64,7 +64,7 @@ def epoch_micros(df: DataFrame, ts_col: str) -> Column:
         + (secs * F.lit(1_000_000)).cast("long")
 
 
-_INTERNAL = ("__us", "__chunk", "__local", "__first", "__last",
+_INTERNAL = ("__us", "__chunk", "__j", "__local", "__first", "__last",
              "__nsess", "__merge", "__base")
 
 
@@ -108,12 +108,25 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
     if clash:
         raise ValueError(f"sessionize: reserved column name(s) {clash}")
     chunk_us = gap_us * int(chunk_gaps)
+    if chunk_us == 0:
+        # gap 0 (every >0 gap splits): microsecond-wide chunks would put
+        # one summary row per distinct timestamp — degenerate; the legacy
+        # plan is the only sensible shape for this configuration
+        return sessionize(df, key_col, ts_col, gap_minutes, tiebreak_col,
+                          chunk_gaps=None)
 
-    # 1. local session ids within (key, chunk); F.floor is a true floor,
-    #    so pre-epoch (negative) timestamps chunk consistently
-    d = df.withColumn("__us", us) \
-          .withColumn("__chunk", F.floor(F.col("__us") / F.lit(chunk_us)))
-    w = Window.partitionBy(key_col, "__chunk").orderBy(*order)
+    # 1. local session ids within (key, chunk).  F.floor is a true floor
+    #    (pre-epoch negative timestamps chunk consistently).  All three
+    #    downstream steps key on ONE struct column: struct grouping/joins
+    #    are null-safe per field, so NULL keys and NULL timestamps keep
+    #    the legacy semantics (one group per key, NULLs sort first) and
+    #    the step-4 join cannot drop them — and window, aggregation, and
+    #    join all share the same hash partitioning (one event exchange).
+    d = (df.withColumn("__us", us)
+           .withColumn("__chunk", F.floor(F.col("__us") / F.lit(chunk_us)))
+           .withColumn("__j", F.struct(F.col(key_col).alias("k"),
+                                       F.col("__chunk").alias("c"))))
+    w = Window.partitionBy("__j").orderBy(*order)
     prev = F.lag("__us").over(w)
     is_new = (prev.isNull()
               | (F.col("__us") - prev > F.lit(gap_us))).cast("long")
@@ -123,8 +136,8 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
         - F.lit(1))
 
     # 2. one summary row per (key, chunk) — reuses the step-1 hash
-    #    partitioning (same grouping keys, no extra exchange of events)
-    summ = (d.groupBy(key_col, "__chunk")
+    #    partitioning (same grouping key, no extra exchange of events)
+    summ = (d.groupBy("__j")
             .agg(F.min("__us").alias("__first"),
                  F.max("__us").alias("__last"),
                  (F.max("__local") + 1).alias("__nsess")))
@@ -137,7 +150,7 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
     #    base(c) = Σ_{c'<c} nsess − Σ_{c'≤c} merge: a merged chunk's local
     #    session 0 lands on the previous chunk's last global id, and the
     #    subtraction telescopes through merge chains of any length.
-    ws = Window.partitionBy(key_col).orderBy("__chunk")
+    ws = Window.partitionBy("__j.k").orderBy("__j.c")
     merge = (F.col("__first") - F.lag("__last").over(ws)
              <= F.lit(gap_us)).cast("long")
     summ = (summ
@@ -151,13 +164,16 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
                 - F.sum("__merge").over(
                     ws.rowsBetween(Window.unboundedPreceding, 0))))
 
-    # 4. events already hash-partitioned on (key, chunk) from step 1 —
+    # 4. events already hash-partitioned on the struct from step 1 —
     #    Catalyst reuses that exchange; only the tiny summary side moves
-    joined = d.join(summ.select(key_col, "__chunk", "__base"),
-                    [key_col, "__chunk"])
-    return joined.select(
-        *[d[c] for c in df.columns],
-        (F.col("__base") + F.col("__local")).alias("session_id"))
+    joined = d.join(summ.select("__j", "__base"), "__j")
+    sid = (F.col("__base") + F.col("__local")).alias("session_id")
+    # replace an existing session_id in place (withColumn semantics of the
+    # legacy plan) instead of emitting a duplicate column
+    out_cols = [sid if c == "session_id" else d[c] for c in df.columns]
+    if "session_id" not in df.columns:
+        out_cols.append(sid)
+    return joined.select(*out_cols)
 
 
 def session_stats(df: DataFrame, key_col: str = "user_id",

@@ -120,6 +120,19 @@ def gated_broadcast(small: DataFrame, threshold: int | None,
     return small
 
 
+def resolve_unique_strategy(df: DataFrame, strategy: str) -> str:
+    """Shared auto/aqe/probe resolution for uniqueness back-joins
+    (``unique_violations`` and the image job): ``auto`` → ``aqe`` when the
+    session has adaptive execution enabled, else ``probe``."""
+    if strategy == "auto":
+        adaptive = df.sparkSession.conf.get("spark.sql.adaptive.enabled",
+                                            "true")
+        return "aqe" if str(adaptive).lower() == "true" else "probe"
+    if strategy not in ("aqe", "probe"):
+        raise ValueError(f"unknown unique_strategy {strategy!r}")
+    return strategy
+
+
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """Keys appearing more than once, with their multiplicity.
 
@@ -158,12 +171,7 @@ def unique_violations(df: DataFrame, keys: list[str],
 
     ``broadcast_threshold=None`` forces the shuffle path outright.
     """
-    if strategy == "auto":
-        adaptive = df.sparkSession.conf.get("spark.sql.adaptive.enabled",
-                                            "true")
-        strategy = "aqe" if str(adaptive).lower() == "true" else "probe"
-    if strategy not in ("aqe", "probe"):
-        raise ValueError(f"unknown strategy {strategy!r}")
+    strategy = resolve_unique_strategy(df, strategy)
     dups = duplicate_keys(df, keys)
     # Null-safe rejoin: duplicate_keys groups NULL keys (groupBy treats
     # NULLs as equal — the same semantics as a SQL window PARTITION BY), so

@@ -73,12 +73,7 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
     """
     plan = CompiledSchema(schema or IMAGE_STRUCT_SCHEMA, extended=True)
     validated = plan.validate(df)
-    if unique_strategy == "auto":
-        adaptive = df.sparkSession.conf.get("spark.sql.adaptive.enabled",
-                                            "true")
-        unique_strategy = "aqe" if str(adaptive).lower() == "true" else "probe"
-    if unique_strategy not in ("aqe", "probe"):
-        raise ValueError(f"unknown unique_strategy {unique_strategy!r}")
+    unique_strategy = tc.resolve_unique_strategy(df, unique_strategy)
 
     slim = validated.select(
         key_col,

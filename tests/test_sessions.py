@@ -123,15 +123,57 @@ def test_sessionize_hot_key_is_split(spark):
     chunked = sessionize(df, gap_minutes=30)
     assert _ids(chunked) == _ids(sessionize(df, gap_minutes=30,
                                             chunk_gaps=None))
-    pids = (chunked.where(F.col("user_id") == 99)
-            .select(F.spark_partition_id().alias("pid"))
-            .distinct().count())
+    # AQE coalesces this tiny test shuffle into one partition, which would
+    # mask the split — measure the raw (key, chunk) hash partitioning
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key)
+    try:
+        spark.conf.set(coalesce_key, "false")
+        pids = (sessionize(df, gap_minutes=30)
+                .where(F.col("user_id") == 99)
+                .select(F.spark_partition_id().alias("pid"))
+                .distinct().count())
+    finally:
+        spark.conf.set(coalesce_key, old)
     assert pids > 1, "hot key still funnels through one task"
     text = chunked._jdf.queryExecution().executedPlan().toString()
-    # the event-grain window partitions by (key, chunk), never key alone
-    win = [ln for ln in text.splitlines()
-           if "Window" in ln and "windowspecdefinition(user_id" in ln]
-    assert win and all("__chunk" in ln for ln in win), text
+    # the event-grain window partitions by the (key, chunk) struct,
+    # never the key alone
+    assert "windowspecdefinition(__j" in text, text
+    assert "windowspecdefinition(user_id" not in text, text
+
+
+def test_sessionize_null_key_and_ts_survive(spark):
+    """Chunked plan keeps NULL-key and NULL-timestamp rows (struct join is
+    null-safe per field) with ids identical to the legacy plan — a plain
+    equi-join rejoin silently dropped them (r5 review finding)."""
+    rows = [(0, m(0), None), (1, m(10), None), (2, m(100), None),
+            (3, None, 1), (4, None, 1), (5, m(0), 1), (6, m(10), 1)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    chunked = sessionize(df, gap_minutes=30)
+    legacy = sessionize(df, gap_minutes=30, chunk_gaps=None)
+    assert chunked.count() == 7
+    assert _ids(chunked) == _ids(legacy)
+
+
+def test_sessionize_gap_zero_falls_back(spark):
+    """gap 0 (chunk width 0) routes to the legacy plan instead of dividing
+    by zero / emptying the result."""
+    rows = [(m(0), 1), (m(0), 1), (m(1), 1)]
+    got = sessionize(evts(spark, rows), gap_minutes=0)
+    assert [r["session_id"] for r in got.orderBy("event_id").collect()] \
+        == [0, 0, 1]
+
+
+def test_sessionize_replaces_existing_session_id(spark):
+    """An input that already has session_id gets it replaced in place on
+    both plans — never a duplicate column."""
+    df = evts(spark, [(m(0), 1), (m(100), 1)]) \
+        .withColumn("session_id", F.lit(99))
+    for kw in ({}, {"chunk_gaps": None}):
+        out = sessionize(df, gap_minutes=30, **kw)
+        assert out.columns.count("session_id") == 1
+        assert sorted(r["session_id"] for r in out.collect()) == [0, 1]
 
 
 def test_epoch_micros_ntz_pinned_values(spark):
