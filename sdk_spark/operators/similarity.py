@@ -57,11 +57,17 @@ def _as_vec_lit(vec: list[float]) -> Column:
 
 def cosine_topk(df: DataFrame, query: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Exact brute-force top-k by cosine similarity (baseline path)."""
+    """Exact brute-force top-k by cosine similarity (baseline path).
+
+    Corrupt embeddings (a NaN component) score NaN, and Spark orders NaN
+    ABOVE every real double — so NaN scores are nulled out, which desc
+    ordering puts last, instead of letting one bad row win every query
+    (r5 review finding; NULL embeddings already score NULL)."""
     q = _as_vec_lit(query)
+    raw = cosine(F.col(vec_col).cast("array<double>"), q)
     scored = df.select(
         F.col(id_col),
-        cosine(F.col(vec_col).cast("array<double>"), q).alias("score"))
+        F.when(F.isnan(raw), F.lit(None)).otherwise(raw).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
@@ -155,12 +161,21 @@ def ivf_bucket(vec_col: Column, nbits: int = 4) -> Column:
     components (quadrant partitioning — an IVF-lite quantizer that needs no
     trained centroids, so an exact SQL twin exists for differential
     testing). At 10^12 scale the table is written partitioned/bucketed by
-    this id so a probe is a partition-pruned scan."""
+    this id so a probe is a partition-pruned scan.
+
+    NULL, too-short, and NaN-bearing vectors get the ``-1`` sentinel cell
+    — the same kept-but-never-probed policy as the trained path
+    (``assign_cells_arrow``); before r5 they silently packed into cell 0
+    (``NULL >= 0`` emitted bit 0, and Spark's NaN-is-largest made NaN
+    components emit bit 1), polluting a real partition."""
     packed = F.lit(0).cast("long")
     for i in range(nbits):
         packed = F.shiftleft(packed, 1) + \
             F.when(vec_col[i] >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-    return packed
+    bad = (vec_col.isNull() | (F.size(vec_col) < F.lit(nbits))
+           | F.exists(F.slice(vec_col, 1, nbits),
+                      lambda x: x.isNull() | F.isnan(x.cast("double"))))
+    return F.when(bad, F.lit(-1).cast("long")).otherwise(packed)
 
 
 def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
@@ -359,12 +374,10 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
     keep every bucket.  Report excluded buckets with
     ``oversized_cosine_buckets``.
     """
-    from .dedup import _cap_buckets, DEFAULT_MAX_BUCKET
+    from .dedup import _bucket_pairs, DEFAULT_MAX_BUCKET
 
     if max_bucket_size == "default":
         max_bucket_size = DEFAULT_MAX_BUCKET
-
-    from .dedup import _bucket_pairs
 
     b = with_lsh_bucket(df, vec_col, n_planes, seed, dim) \
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket")
@@ -373,15 +386,23 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
         cosine(F.col("a.v").cast("array<double>"),
                F.col("b.v").cast("array<double>")).alias("score"))
-    return pairs.where(F.col("score") >= threshold)
+    # Spark orders NaN above every double AND NaN >= threshold is TRUE
+    # under its NaN-as-largest semantics — a corrupt embedding must not
+    # manufacture near-dup pairs (r5 review finding)
+    return pairs.where(~F.isnan("score") & (F.col("score") >= threshold))
 
 
 def oversized_cosine_buckets(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding", n_planes: int = 12,
                              seed: int = 42, dim: int | None = None,
-                             max_bucket_size: int = 1000) -> DataFrame:
+                             max_bucket_size: int | None = None) -> DataFrame:
     """(lsh_bucket, members) for buckets a cap would exclude — the audit
-    companion of ``cosine_near_duplicates(max_bucket_size=...)``."""
+    companion of ``cosine_near_duplicates(max_bucket_size=...)``; defaults
+    to the SAME shared cap so the audit always reports exactly what the
+    sibling excludes."""
+    if max_bucket_size is None:
+        from .dedup import DEFAULT_MAX_BUCKET
+        max_bucket_size = DEFAULT_MAX_BUCKET
     b = with_lsh_bucket(df, vec_col, n_planes, seed, dim)
     return (b.groupBy("lsh_bucket")
             .agg(F.count(F.lit(1)).alias("members"))
@@ -478,11 +499,23 @@ def _kmeans_assign_partials(centroids: "np.ndarray", vec_col: str):
     c2 = (C ** 2).sum(axis=1)[None, :]
 
     def kernel(batches):
+        d = C.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])        # n×d
+            # drop malformed vectors instead of letting them poison the
+            # update: a null/NaN COMPONENT becomes nan (one nan sum makes
+            # cluster 0's centroid non-finite and the next iteration
+            # collapses every row into it), and a wrong-length vector
+            # crashes np.stack mid-job (r5 review finding)
+            vals = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]
+                    if v is not None and len(v) == d]
+            if not vals:
+                continue
+            V = np.stack(vals)                           # n×d
+            V = V[np.isfinite(V).all(axis=1)]
+            if not len(V):
+                continue
             d2 = (V ** 2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2
             assign = d2.argmin(axis=1)
             rows = []
@@ -529,8 +562,13 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
 
     raw = F.col(vec_col).cast("array<double>")
     vexpr = _unit(raw) if spherical else raw
-    base = df.select(F.col(id_col).alias("id"), vexpr.alias("v")) \
-             .where(F.col("v").isNotNull())
+    base = (df.select(F.col(id_col).alias("id"), vexpr.alias("v"))
+            .where(F.col("v").isNotNull())
+            # element-level guard: one NaN/null component in the training
+            # set poisons a centroid sum and collapses every cluster into
+            # it on the next iteration (r5 review finding)
+            .where(~F.exists(F.col("v"),
+                             lambda x: x.isNull() | F.isnan(x))))
     if sample_fraction is not None and sample_fraction < 1.0:
         base = base.sample(fraction=sample_fraction, seed=seed)
     # every Lloyd's iteration re-reads the projection; persist it once
@@ -543,7 +581,14 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
     if len(init_rows) < k:
         base.unpersist()
         raise ValueError(f"need at least k={k} vectors, got {len(init_rows)}")
-    S = np.asarray([r["v"] for r in init_rows], dtype=np.float64)
+    from collections import Counter
+
+    # modal-length filter: one wrong-length vector would make the init
+    # matrix ragged (object dtype) and crash the farthest-first arithmetic
+    lens = Counter(len(r["v"]) for r in init_rows)
+    d_mode = lens.most_common(1)[0][0]
+    S = np.asarray([r["v"] for r in init_rows if len(r["v"]) == d_mode],
+                   dtype=np.float64)
     chosen = [0]                                   # lowest-hash vector
     d2min = ((S - S[0][None, :]) ** 2).sum(axis=1)
     for _ in range(1, k):
@@ -646,11 +691,18 @@ def assign_cells_arrow(df: DataFrame, centroids: "np.ndarray",
             if ok.any():
                 V = np.stack([np.asarray(vals[i], dtype=np.float64)
                               for i in np.flatnonzero(ok)])
+                # element-level guard: a null/NaN COMPONENT became nan in
+                # the asarray above; its all-NaN distance row would argmin
+                # to 0, writing the row into the real cell-0 partition
+                # instead of the -1 sentinel (r5 review finding)
+                finite = np.isfinite(V).all(axis=1)
                 if spherical:
                     n = np.sqrt((V ** 2).sum(axis=1))[:, None]
                     V = V / np.maximum(n, 1e-12)
                 d2 = (V ** 2).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2
-                cells[np.flatnonzero(ok)] = d2.argmin(axis=1).astype(np.int32)
+                assigned = np.where(finite,
+                                    d2.argmin(axis=1), -1).astype(np.int32)
+                cells[np.flatnonzero(ok)] = assigned
             out = pdf.copy()
             out[out_col] = cells
             yield out

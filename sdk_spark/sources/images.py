@@ -168,7 +168,8 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
         from ..functions.jpeg import encode_jpeg, encode_jpeg_progressive
 
         # a deterministic share of JPEG rows is progressive (the dominant
-        # real-crawl encoding), a third of those with restart intervals
+        # real-crawl encoding), two-thirds of those with restart intervals
+        # (i % 3 is nonzero for 2 of every 3 rows)
         if progressive_fraction > 0 and \
                 (i // 10) % 10 < progressive_fraction * 10:
             payload = encode_jpeg_progressive(pixels, quality=95,
