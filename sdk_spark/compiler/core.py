@@ -125,6 +125,18 @@ class Ctx:
         return Ctx(self.validation, self.conditionals, True)
 
 
+def _compile_or_raise(pat: str, where: str) -> "re.Pattern":
+    """patternProperties regexes compile at plan-build time; an invalid
+    one must surface as SchemaCompileError (so ``validate_auto`` reroutes
+    to the row kernel) — a bare ``re.error`` escaped that contract
+    (r5 review finding; the string ``pattern`` keyword already wraps)."""
+    try:
+        return re.compile(pat)
+    except re.error as exc:
+        raise SchemaCompileError(
+            f"invalid regex {pat!r} at {where}: {exc}") from exc
+
+
 def _present(col: Column, pred: Column) -> Column:
     """Null-safe wrap: NULL value => constraint passes (absence is handled
     by ``required``); non-null => pred with NULL coerced to False."""
@@ -273,8 +285,14 @@ class CompiledSchema:
             out.extend(self._node(sub, f"#/{name}", df[name],
                                   schema_by_name[name], ctx, 1))
         if "has" in node:
+            # root scoping: like propertyNames/minProperties below, 'has'
+            # looks at DECLARED properties only — an undeclared metadata
+            # column (case id, partition key) must not satisfy it
+            # (r5 review finding; same divergence rationale)
             has_ok = F.lit(False)
             for name, fdt in schema_by_name.items():
+                if name not in props:
+                    continue
                 try:
                     has_ok = has_ok | (df[name].isNotNull()
                                        & self._valid(node["has"], df[name], fdt,
@@ -287,9 +305,10 @@ class CompiledSchema:
         if ctx.validation:
             if isinstance(node.get("patternProperties"), dict):
                 for pat, sub in node["patternProperties"].items():
-                    rx = re.compile(pat)
+                    rx = _compile_or_raise(pat, "#/patternProperties")
                     for name, fdt in schema_by_name.items():
-                        if rx.search(name):
+                        # declared-only at root (same scoping as above)
+                        if name in props and rx.search(name):
                             out.extend(self._node(sub, f"#/{name}", df[name],
                                                   fdt, ctx, 1))
             if isinstance(node.get("propertyNames"), dict):
@@ -335,12 +354,58 @@ class CompiledSchema:
 
     def _conditionals_toplevel(self, df, node, ctx):
         """Root-level conditionals over an object row: bind subschema
-        predicates against a struct of the row's columns."""
+        predicates against a struct of the row's DECLARED property columns
+        — the same root scoping as propertyNames/minProperties/has above;
+        undeclared metadata columns (case ids, key columns) must not leak
+        into branch-level object checks like maxProperties or
+        propertyNames (r5 review finding)."""
         if not any(k in node for k in CONDITIONAL_KEYWORDS):
             return []
-        row = F.struct(*[df[n] for n in df.schema.names])
-        dt = T.StructType(df.schema.fields)
+        names = self._cond_prop_names(node)
+        fields = (list(df.schema.fields) if names is None
+                  else [f for f in df.schema.fields if f.name in names])
+        if not fields:
+            fields = list(df.schema.fields)
+        row = F.struct(*[df[f.name] for f in fields])
+        dt = T.StructType(fields)
         return self._conditional_constraints(node, "#", row, dt, ctx, 0)
+
+    def _cond_prop_names(self, node, depth: int = 0) -> "set | None":
+        """Every property name the conditional subtree can reference —
+        root ``properties`` plus the declared/required/dependent names of
+        each branch, with ``$ref``/``$extends`` resolved the same way the
+        branch compiler resolves them.  ``None`` means the subtree uses
+        name-pattern keywords whose reach cannot be enumerated
+        (patternProperties) — the caller then keeps the historical
+        every-column struct instead of guessing."""
+        if depth > 8 or not isinstance(node, dict):
+            return set()
+        try:
+            node = effective(self.doc, node, max_depth=self.max_depth)
+        except Exception:
+            return None
+        if "patternProperties" in node:
+            return None
+        names: set = set()
+        if isinstance(node.get("properties"), dict):
+            names |= set(node["properties"])
+        if isinstance(node.get("required"), list):
+            names |= {x for x in node["required"] if isinstance(x, str)}
+        if isinstance(node.get("dependentRequired"), dict):
+            names |= set(node["dependentRequired"])
+            for v in node["dependentRequired"].values():
+                if isinstance(v, list):
+                    names |= {x for x in v if isinstance(x, str)}
+        for k in CONDITIONAL_KEYWORDS:
+            v = node.get(k)
+            if v is None:
+                continue
+            for b in (v if isinstance(v, list) else [v]):
+                s = self._cond_prop_names(b, depth + 1)
+                if s is None:
+                    return None
+                names |= s
+        return names
 
     # -- recursive node compiler -------------------------------------------------
     def _node(self, node: Any, path: str, col: Column, dt: T.DataType,
@@ -449,9 +514,12 @@ class CompiledSchema:
                 add(E.INSTANCE_NUMBER_FORMAT_INVALID, col.rlike(RX["int"]))
                 add(E.INSTANCE_NUMBER_OUT_OF_RANGE, _bigint_in_range(col, lo, hi))
             elif isinstance(dt, _INTEGRAL):
-                if t != "int64":
-                    add(E.INSTANCE_NUMBER_OUT_OF_RANGE,
-                        col >= F.lit(0) if t.startswith("u") else F.lit(True))
+                # any int64-or-narrower column fits inside int128/uint128
+                # magnitude bounds; only unsigned types need the >= 0 side
+                # (a constant-true constraint would still cost a violations
+                # cell per row — r5 review finding)
+                if t != "int64" and t.startswith("u"):
+                    add(E.INSTANCE_NUMBER_OUT_OF_RANGE, col >= F.lit(0))
             elif isinstance(dt, T.DecimalType) and dt.scale == 0:
                 # Only check sides the dtype can actually exceed: decimal(p,0)
                 # tops out at 10^p-1 < the int128/uint128 magnitude bounds, and
@@ -575,7 +643,7 @@ class CompiledSchema:
             if isinstance(node.get("patternProperties"), dict):
                 # struct keys are static: match property names at compile time
                 for pat, sub in node["patternProperties"].items():
-                    rx = re.compile(pat)
+                    rx = _compile_or_raise(pat, f"{path}/patternProperties")
                     for name, fdt in by_name.items():
                         if rx.search(name):
                             out.extend(self._node(sub, f"{path}/{name}",
@@ -868,10 +936,21 @@ class CompiledSchema:
                 # (reference: instance_validator.py:879-888); for
                 # string-backed ints >2^53 the double quotient is a KNOWN,
                 # documented divergence (test_regex_and_precision.py) — the
-                # exact digit-string machinery covers bounds, not division
+                # exact digit-string machinery covers bounds, not division.
+                # String-backed types get the same malformed-input guard as
+                # cmp(): the kernel parses the digit string FIRST and skips
+                # every numeric addin on parse failure, so an unparseable
+                # value reports FORMAT_INVALID alone on both paths
+                # (r5 review finding; pinned by test_review_fixes_r5)
                 q = num.cast("double") / F.lit(float(node["multipleOf"]))
-                add(E.INSTANCE_NUMBER_MULTIPLE_OF,
-                    F.abs(q - F.round(q, 0)) <= F.lit(1e-10))
+                mok = F.abs(q - F.round(q, 0)) <= F.lit(1e-10)
+                if int_backed:
+                    mok = F.when(col.rlike(RX["int"]), mok) \
+                        .otherwise(F.lit(True))
+                elif dec_backed:
+                    mok = F.when(col.try_cast("double").isNotNull(), mok) \
+                        .otherwise(F.lit(True))
+                add(E.INSTANCE_NUMBER_MULTIPLE_OF, mok)
         if t == "string" and isinstance(dt, T.StringType):
             if "minLength" in node:
                 add(E.INSTANCE_STRING_MIN_LENGTH,
@@ -917,6 +996,15 @@ class CompiledSchema:
         duplicates it into every downstream use.  Consumers read
         ``violation_count``/``valid`` (plain codegen arithmetic) or
         ``violation_rows`` (explode + null filter, both codegen)."""
+        clash = [c for c in ("violations", "violation_count", "valid")
+                 if c in df.columns]
+        if clash:
+            # silently overwriting e.g. a business 'valid' column (or a
+            # prior validation's verdicts) loses caller data — refuse
+            # loudly; re-validation should drop the old columns first
+            raise ValueError(
+                f"input already has validation output column(s) {clash} — "
+                f"drop or rename them before validate()")
         cons = self.constraints(df)
         cells = [
             F.when(~c.ok, F.struct(

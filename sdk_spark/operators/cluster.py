@@ -23,17 +23,22 @@ a mega-hub (the 30%-hot-phash skew fixture) never materializes its
 neighborhood as an in-memory array; its minimum flows through a
 streaming partial aggregate and the emit side is a join.
 
-Each round ends in ``localCheckpoint(eager=True)`` to truncate lineage
-(iterative plans otherwise grow by two shuffles per round and overwhelm
-the optimizer), and convergence is detected by a (count, hash-sum)
-fingerprint of the edge set — one lightweight action per round on the
-already-materialized checkpoint.  Superseded round checkpoints are
-storage-evictable cached blocks (MEMORY_AND_DISK) reclaimed by Spark's
-ContextCleaner once their plan references die; a driver running MANY
-clustering jobs in one session accrues a few small edge-set blocks per
-run until then — they are evicted before any executor OOMs, but a
-storage-tidy caller can bound them with an explicit
-``spark.catalog.clearCache()`` between unrelated pipelines.
+Each round truncates lineage (iterative plans otherwise grow by two
+shuffles per round and overwhelm the optimizer), and convergence is
+detected by a (count, hash-sum) fingerprint of the edge set — one
+lightweight action per round on the already-materialized snapshot.
+Without a checkpoint dir the rounds use ``localCheckpoint(eager=True)``
+(executor cached blocks, reclaimed by the ContextCleaner).  With
+``sc.setCheckpointDir`` configured (the production setting) each round
+writes the edge set as parquet under a per-run directory inside the
+checkpoint dir and reads it back — same lineage truncation, survives
+executor loss, and, unlike ``DataFrame.checkpoint()`` files (which
+Spark never reclaims while the app lives unless
+``spark.cleaner.referenceTracking.cleanCheckpoints`` is flipped), every
+SUPERSEDED round's directory is deleted as soon as the next round is
+durable, so a run leaks at most one edge-set snapshot.  The FINAL
+round's files back the returned labels and stay until the caller is
+done with them (drop the run directory after materializing).
 
 Reference parity: the reference SDK validates instances one at a time
 and has no cross-row graph operator (nothing to cite); this operator is
@@ -46,6 +51,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import table_checks as tc
+
+
+def _hadoop_rm(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API (works on the
+    cluster filesystem — HDFS/S3A/local — wherever the checkpoint dir
+    lives, not just the driver's local disk)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -88,14 +102,31 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     # unboundedly.  localCheckpoint keeps blocks on EXECUTORS — fast, but
     # one lost executor kills the job unrecoverably mid-iteration.  When
     # the session has a reliable checkpoint dir configured
-    # (sc.setCheckpointDir on HDFS/S3 — the production setting), use
-    # reliable checkpoint() so the fixpoint survives executor loss; fall
-    # back to localCheckpoint otherwise (local[-] dev / tests).
+    # (sc.setCheckpointDir on HDFS/S3 — the production setting), write
+    # each round's edge set as parquet under a per-run directory and read
+    # it back: same truncation, survives executor loss, and the previous
+    # round's directory is deleted as soon as the new one is durable —
+    # DataFrame.checkpoint() files would instead accumulate O(rounds)
+    # snapshots for the application's lifetime (module docstring).
+    import uuid
+
+    spark = pairs.sparkSession
+    ckpt_base = spark.sparkContext.getCheckpointDir()
+    run_dir = (f"{ckpt_base.rstrip('/')}/sdk_spark_cc_{uuid.uuid4().hex}"
+               if ckpt_base is not None else None)
+    state = {"last": None, "round": 0}
+
     def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        if run_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{run_dir}/round_{state['round']}"
+        state["round"] += 1
+        df.write.parquet(path)
+        out = spark.read.parquet(path)
+        if state["last"] is not None:
+            _hadoop_rm(spark, state["last"])
+        state["last"] = path
+        return out
 
     if checkpoint:
         e = _truncate(e)

@@ -76,7 +76,11 @@ def hash_split(df: DataFrame, key_col: str,
     """
     if sum(weights.values()) != 100:
         raise ValueError(f"weights must sum to 100, got {weights}")
-    b = split_bucket(F.col(key_col))
+    # NULL keys hash to a NULL bucket, which falls through every band and
+    # left split=NULL — downstream equi-joins (curate's token join) then
+    # silently dropped the row.  Pin them to bucket 0 → the FIRST declared
+    # split, deterministically (same spirit as sampling's NULLs-first rule).
+    b = F.coalesce(split_bucket(F.col(key_col)), F.lit(0))
     expr = None
     acc = 0
     for name, w in weights.items():
@@ -155,7 +159,11 @@ def pack_rows(df: DataFrame, id_col: str = "doc_id",
     if num_partitions is not None:
         out = out.repartition(num_partitions, id_col) if num_partitions > 1 \
             else out.coalesce(1)
-    order = ([split_col] if split_col else []) + [id_col]
+    # tokens_col as the last sort key: ids are normally unique, but if a
+    # caller packs rows with duplicate ids, Spark's sort gives equal keys
+    # no stable order — the extra key makes ties identical rows, whose
+    # order cannot change the packing, so the determinism contract holds
+    order = ([split_col] if split_col else []) + [id_col, tokens_col]
     out = out.sortWithinPartitions(*order)
     schema = T.StructType(list(df.schema.fields) + PACK_SCHEMA_SUFFIX)
     _SENTINEL = object()
@@ -175,6 +183,14 @@ def pack_rows(df: DataFrame, id_col: str = "doc_id",
             for i, tok in enumerate(toks):
                 tok = int(tok) if tok is not None and not pd.isna(tok) \
                     else 0
+                if tok < 0:
+                    # a negative count is corrupt input (overflowed or
+                    # mis-joined) — it would silently DRAIN bin fill and
+                    # over-pack past max_tokens; fail closed like the
+                    # codec layer does
+                    raise ValueError(
+                        f"negative token count {tok} in '{tokens_col}' — "
+                        f"fix or filter upstream")
                 if splits is not None and splits[i] != cur_split:
                     if cur_split is not _SENTINEL:
                         bin_no += 1
