@@ -228,14 +228,22 @@ Verdict vs the >= 0.8 criterion: {"PASS" if kspeedup / ceiling_speedup >= 0.8 el
 (end-to-end, ceiling-normalized); raw-vs-ideal figures above for
 transparency.
 
-Decomposition: the end-to-end figure includes ~9 s of JVM stages (scan +
-constraint projection + uniqueness shuffle + verdict agg) whose work at this
-local data size ({ROWS:,} rows, ~1.6 GB) is fixed-cost dominated and does
-not shrink with cores; the Arrow pixel/caption kernel carries ~90% of the
-compute and is the component whose scaling transfers to a real cluster
-(at 10^12 rows every stage has >> cores x 100 tasks of genuine work).
+Decomposition: non-kernel wall (scan + constraint projection + uniqueness
+shuffle + verdict agg + driver-side plan build) is
+{results[lo]['wall_sec'] - results[lo]['kernel_wall_sec']:.1f} s at local[{lo}] vs
+{results[hi]['wall_sec'] - results[hi]['kernel_wall_sec']:.1f} s at local[{hi}]
+({(results[lo]['wall_sec'] - results[lo]['kernel_wall_sec']) / max(results[hi]['wall_sec'] - results[hi]['kernel_wall_sec'], 1e-9):.2f}x);
+the Arrow pixel/caption kernel carries the dominant compute and is the
+component whose scaling transfers to a real cluster (at 10^12 rows every
+stage has >> cores x 100 tasks of genuine work).
 """
+    history = REPO / "BENCH" / "HISTORY.md"
+    if history.exists():
+        # hand-maintained campaign history + annotations survive the rewrite
+        md += "\n" + history.read_text()
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
+    with (REPO / "BENCH" / "campaigns.jsonl").open("a") as fh:
+        fh.write(json.dumps(report) + "\n")
     print(json.dumps(report))
 
 

@@ -378,8 +378,17 @@ class CompiledSchema:
         name-pattern keywords whose reach cannot be enumerated
         (patternProperties) — the caller then keeps the historical
         every-column struct instead of guessing."""
-        if depth > 8 or not isinstance(node, dict):
+        if not isinstance(node, dict):
             return set()
+        if depth > 8:
+            # deeper than the enumeration walks (compile max_depth is 64,
+            # so 9+-level conditional nests DO compile): the subtree's
+            # reach is unknown — None keeps the historical every-column
+            # struct, same as the patternProperties bail-out.  Returning
+            # set() here silently dropped deep-branch property names and
+            # compiled their checks against a struct missing the column
+            # (false violations / false passes — r5 review finding).
+            return None
         try:
             node = effective(self.doc, node, max_depth=self.max_depth)
         except Exception:

@@ -57,9 +57,10 @@ def _hadoop_rm(spark, path: str) -> None:
     """Recursive delete through the Hadoop FileSystem API (works on the
     cluster filesystem — HDFS/S3A/local — wherever the checkpoint dir
     lives, not just the driver's local disk)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    from ..fs import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    fs.delete(p, True)
 
 
 def _large_star(e: DataFrame) -> DataFrame:

@@ -108,10 +108,14 @@ def sessionize(df: DataFrame, key_col: str = "user_id",
     if clash:
         raise ValueError(f"sessionize: reserved column name(s) {clash}")
     chunk_us = gap_us * int(chunk_gaps)
-    if chunk_us == 0:
+    if chunk_us <= 0:
         # gap 0 (every >0 gap splits): microsecond-wide chunks would put
-        # one summary row per distinct timestamp — degenerate; the legacy
-        # plan is the only sensible shape for this configuration
+        # one summary row per distinct timestamp — degenerate.  gap < 0:
+        # floor(us / negative) makes chunk ids DECREASE with time, so the
+        # ascending-chunk merge window would walk chunks in reverse time
+        # order and compare the wrong chunk pairs.  The legacy plan is the
+        # only sensible shape for both configurations (its `us - prev >
+        # gap` test degenerates to one session per event, deterministic).
         return sessionize(df, key_col, ts_col, gap_minutes, tiebreak_col,
                           chunk_gaps=None)
 

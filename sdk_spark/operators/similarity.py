@@ -250,9 +250,9 @@ def _write_index_meta(spark, path: str, meta: dict) -> None:
     driver's local disk happens to be."""
     import json
 
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _META_FILE)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..fs import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path.rstrip("/") + "/" + _META_FILE)
     out = fs.create(p, True)
     try:
         out.write(bytearray(json.dumps(meta, sort_keys=True).encode()))
@@ -265,16 +265,17 @@ def read_index_meta(spark, path: str) -> dict:
     pointer at pre-meta indexes, which must be rewritten to be appendable)."""
     import json
 
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/" + _META_FILE)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    from ..fs import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path.rstrip("/") + "/" + _META_FILE)
     if not fs.exists(p):
         raise ValueError(
             f"no {_META_FILE} under {path} — the index predates append "
             f"support; rewrite it with write_ann_index to make it appendable")
     stream = fs.open(p)
     try:
-        raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        raw = bytes(spark._jvm.org.apache.commons.io.IOUtils
+                    .toByteArray(stream))
     finally:
         stream.close()
     return json.loads(raw.decode())
@@ -308,18 +309,39 @@ def append_ann_index(df: DataFrame, path: str) -> None:
     else:
         out = out.withColumn(
             "ivf_cell", ivf_bucket(F.col(meta["vec_col"]), meta["nbits"]))
+    if meta["dim"] is not None:
+        # fail-closed dim check, fused into the write (no extra pass): a
+        # wrong-dimensionality append would otherwise NULL out the plane
+        # dot products and silently bucket every new row as 0 / cell -1 —
+        # rows present in the index but invisible to every narrowed probe
+        vec = F.col(meta["vec_col"])
+        bad = vec.isNotNull() & (F.size(vec) != F.lit(int(meta["dim"])))
+        out = out.withColumn(
+            "ivf_cell",
+            F.when(bad, F.raise_error(F.concat(
+                F.lit("append_ann_index: embedding length "),
+                F.size(vec).cast("string"),
+                F.lit(f" != index dim {int(meta['dim'])} under {path}"))))
+            .otherwise(F.col("ivf_cell")))
     out.write.mode("append").partitionBy("ivf_cell").parquet(path)
 
 
 def ann_index_cell_stats(spark, path: str) -> DataFrame:
     """Per-cell row counts plus each cell's share of the mean — the skew
     audit that drives the append-vs-retrain decision (``append_ann_index``
-    docstring).  One partition-grain aggregation over the index."""
+    docstring).  One partition-grain aggregation over the index.
+
+    The ``ivf_cell = -1`` sentinel partition (malformed embeddings the
+    trained assignment shunts aside; probes never rank it) is reported —
+    its growth is itself a data-quality signal — but EXCLUDED from the
+    mean, with a NULL ``vs_mean``: junk rows must not shift the skew
+    ratio real cells are judged by."""
     counts = (spark.read.parquet(path)
               .groupBy("ivf_cell").agg(F.count(F.lit(1)).alias("n")))
-    mean = F.avg("n").over(Window.partitionBy())
+    real = F.col("ivf_cell") >= 0
+    mean = F.avg(F.when(real, F.col("n"))).over(Window.partitionBy())
     return counts.select("ivf_cell", "n",
-                         (F.col("n") / mean).alias("vs_mean"))
+                         F.when(real, F.col("n") / mean).alias("vs_mean"))
 
 
 def _centroid_sidecar(path: str) -> str:
@@ -589,6 +611,17 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
     d_mode = lens.most_common(1)[0][0]
     S = np.asarray([r["v"] for r in init_rows if len(r["v"]) == d_mode],
                    dtype=np.float64)
+    if S.shape[0] < k:
+        # the pre-filter len(init_rows) >= k guard counted RAGGED rows;
+        # training on fewer than k distinct vectors would silently
+        # duplicate centroid 0 once farthest-first exhausts S (d2min all
+        # zero -> argmax 0) — a degenerate index, so fail loudly instead
+        base.unpersist()
+        raise ValueError(
+            f"only {S.shape[0]} of {len(init_rows)} init-sample vectors "
+            f"have the modal length {d_mode} (length histogram "
+            f"{dict(lens)}); need k={k} — mixed-dimensionality corpus, "
+            f"clean it before training")
     chosen = [0]                                   # lowest-hash vector
     d2min = ((S - S[0][None, :]) ** 2).sum(axis=1)
     for _ in range(1, k):

@@ -174,7 +174,13 @@ def unique_violations(df: DataFrame, keys: list[str],
     * ``"auto"`` (default) — ``"aqe"`` when the session has adaptive
       execution enabled, else ``"probe"``.
 
-    ``broadcast_threshold=None`` forces the shuffle path outright.
+    ``broadcast_threshold=None`` forces the shuffle path outright.  An
+    EXPLICIT non-default threshold is a contract, not a hint: the caller
+    stated a row cap (usually to bound driver/executor memory), so the
+    counted probe runs and enforces it even when the session would
+    otherwise resolve to ``"aqe"`` — AQE's own guard is the byte-based
+    ``autoBroadcastJoinThreshold`` and would silently ignore the cap
+    (r5 review finding).
     """
     strategy = resolve_unique_strategy(df, strategy)
     dups = duplicate_keys(df, keys)
@@ -184,7 +190,8 @@ def unique_violations(df: DataFrame, keys: list[str],
     # vanish from the violation rows.
     right = dups.select(*[F.col(k).alias(f"__dk_{i}")
                           for i, k in enumerate(keys)], "cnt")
-    if strategy == "probe" or broadcast_threshold is None:
+    if (strategy == "probe" or broadcast_threshold is None
+            or broadcast_threshold != DEFAULT_BROADCAST_ROWS):
         right = gated_broadcast(right, broadcast_threshold)
     cond = reduce(lambda a, b: a & b,
                   [df[k].eqNullSafe(right[f"__dk_{i}"])
