@@ -133,7 +133,8 @@ def resolve_unique_strategy(df: DataFrame, strategy: str) -> str:
     return strategy
 
 
-def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+def duplicate_keys(df: DataFrame, keys: list[str],
+                   hash_prefilter: bool = False) -> DataFrame:
     """Keys appearing more than once, with their multiplicity.
 
     Plain ``groupBy(keys).count()`` IS the two-phase salted shape for a
@@ -148,7 +149,30 @@ def duplicate_keys(df: DataFrame, keys: list[str]) -> DataFrame:
     so r5 removed it.  Explicit salting remains necessary only for
     aggregates WITHOUT map-side reduction (``collect_list`` — see
     ``dedup.exact_duplicates``'s partial top-n).
+
+    ``hash_prefilter=True`` replaces the full-width key shuffle with an
+    8-byte one — EXACT results, for the corpus shape a uniqueness
+    constraint expects (keys mostly unique): shuffle ``xxhash64(keys)``
+    to find hash-duplicate candidate rows (a superset of true duplicates;
+    near-empty on a mostly-unique corpus), then group only the candidates
+    by the real key.  On a 100-TB table with a 36-byte uuid key this cuts
+    the dominant shuffle ~5× (8+8 bytes/row vs the full key).  Leave it
+    off for heavily-duplicated corpora (content fingerprints): there the
+    candidate set is the whole table and the prefilter is a pure extra
+    pass.  NULL handling matches ``groupBy`` (all-NULL keys hash equal
+    and group equal).
     """
+    if hash_prefilter:
+        h = F.xxhash64(*[F.col(k) for k in keys])
+        keyed = df.select(*keys, h.alias("__kh"))
+        cand_h = (keyed.groupBy("__kh")
+                  .agg(F.count(F.lit(1)).alias("__hc"))
+                  .where(F.col("__hc") > 1)
+                  .select("__kh"))
+        # AQE broadcasts the near-empty candidate-hash set at runtime; a
+        # heavily-duplicated corpus degrades to the shuffled semi-join —
+        # exactly the case where the full-key shuffle was needed anyway
+        df = keyed.join(cand_h, "__kh", "left_semi").drop("__kh")
     return (df.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("cnt"))
             .where(F.col("cnt") > 1))

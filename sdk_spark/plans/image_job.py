@@ -78,7 +78,14 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
     slim = validated.select(
         key_col,
         F.spark_partition_id().alias("__part"),
-        "valid", "violation_count", "violations")
+        "valid", "violation_count",
+        # valid rows store a NULL array instead of one all-NULL cell per
+        # constraint (measured ~20% faster cache build at 16M rows; the
+        # serialized size is already bitmap-compact either way), and
+        # ``violation_rows``' explode skips NULL arrays — those rows
+        # contributed no violation rows anyway
+        F.when(F.col("violation_count") > 0, F.col("violations"))
+        .alias("violations"))
     if persist_intermediate:
         # serialized, spillable: at 10^12 rows this is the difference
         # between one scan of the 100-TB table and four
@@ -91,6 +98,12 @@ def validate_images(df: DataFrame, check_pixels: bool = False,
     # eqNullSafe: duplicate_keys groups NULL keys, so the back-join must
     # match them too or NULL-key duplicates silently vanish (the same
     # contract table_checks.unique_violations keeps)
+    # plain full-key discovery shuffle, NOT duplicate_keys' hash_prefilter:
+    # interleaved A/B at 16M rows measured the prefilter's extra cached
+    # pass costing more than its 5x narrower shuffle saves when the
+    # "network" is one box's memory bus.  On a real multi-executor cluster
+    # the trade reverses (shuffle bytes cross machines); callers there
+    # compose duplicate_keys(hash_prefilter=True) directly.
     dups = tc.duplicate_keys(slim.select(key_col), [key_col]) \
         .select(F.col(key_col).alias("__dk"), "cnt")
     if unique_strategy == "probe":

@@ -148,6 +148,26 @@ def test_unique_violations_explicit_threshold_probes_under_aqe(spark):
         release_probe_cache()
 
 
+def test_duplicate_keys_hash_prefilter_exact_parity(spark):
+    """The 8-byte-hash discovery shuffle must return EXACTLY the same
+    duplicate set as the full-key shuffle — planted dups, NULL keys, and
+    a multi-key grouping all included."""
+    from sdk_spark.operators.table_checks import duplicate_keys
+
+    rows = ([(f"u{i}", i % 3) for i in range(200)]        # unique u*
+            + [("dup", 1)] * 5 + [(None, 2)] * 3          # planted + NULLs
+            + [("dup", 2)] * 2)
+    df = spark.createDataFrame(rows, "k string, g int")
+    for keys in (["k"], ["k", "g"]):
+        plain = {tuple(r) for r in duplicate_keys(df, keys).collect()}
+        fast = {tuple(r) for r in duplicate_keys(
+            df, keys, hash_prefilter=True).collect()}
+        assert plain == fast and plain
+    assert (None, 3) in {(r["k"], r["cnt"])
+                         for r in duplicate_keys(df, ["k"],
+                                                 hash_prefilter=True).collect()}
+
+
 def test_sessionize_negative_gap_matches_legacy(spark):
     """gap < 0 must fall back to the legacy plan (chunk ids would decrease
     with time and the merge window would walk chunks in reverse)."""
