@@ -20,19 +20,25 @@ sys.path.insert(0, _REPO)
 # python workers spawned by a not-yet-created session inherit this
 os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
-_shipped_sessions: set[int] = set()
+_shipped_apps: set[str] = set()
 
 
 def _ship_package(spark) -> None:
     """Make sdk_spark importable on executor python workers even when the
     caller's SparkSession predates our PYTHONPATH export (addPyFile
-    distributes a zip and prepends it to worker sys.path)."""
-    if id(spark) in _shipped_sessions:
+    distributes a zip and prepends it to worker sys.path).
+
+    Keyed on ``applicationId`` (a GC'd session's ``id()`` can be reused
+    by a NEW session, which would silently skip the ship) and written to
+    a per-process path (a world-shared ``/tmp`` name races concurrent
+    drivers: one rewrites the zip while another's executors fetch it)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _shipped_apps:
         return
     import zipfile
 
     # always rebuild: a stale zip would silently shadow code changes
-    zip_path = os.path.join("/tmp", "sdk_spark_pkg.zip")
+    zip_path = os.path.join("/tmp", f"sdk_spark_pkg_{os.getpid()}.zip")
     with zipfile.ZipFile(zip_path, "w") as zf:
         pkg = os.path.join(_REPO, "sdk_spark")
         for root, _dirs, files in os.walk(pkg):
@@ -41,7 +47,7 @@ def _ship_package(spark) -> None:
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, _REPO))
     spark.sparkContext.addPyFile(zip_path)
-    _shipped_sessions.add(id(spark))
+    _shipped_apps.add(app_id)
 
 from sdk_spark.compiler.core import (  # noqa: E402
     CompiledSchema,
@@ -1284,10 +1290,16 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE k = 13
         """,
         "text_quality": """
+            -- explicit Java-\s class + empty guard: the engine splits on
+            -- Java \s+ (includes \x0b) and counts 0 tokens for blank text
             SELECT doc_id,
                    length(text) AS n_chars_calc,
-                   len(string_split(trim(text), ' ')) AS n_tokens,
-                   len(list_filter(string_split(trim(text), ' '),
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text),
+                                                    '[ \t\n\x0b\f\r]+'))
+                   END AS n_tokens,
+                   len(list_filter(string_split_regex(trim(text),
+                                                      '[ \t\n\x0b\f\r]+'),
                        x -> x IN ('the','a','of','and','to','in','is','that','it','for')
                    )) AS stop_hits
             FROM documents
@@ -1295,13 +1307,13 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": """
             WITH scored AS (
               SELECT doc_id,
-                len(list_filter(string_split(trim(text),' '),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('the','a','of','and','to','in','is','that','it','for'))) AS hits_en,
-                len(list_filter(string_split(trim(text),' '),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS hits_de,
-                len(list_filter(string_split(trim(text),' '),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('le','la','les','et','est','un','une','des','que','pour'))) AS hits_fr,
-                len(list_filter(string_split(trim(text),' '),
+                len(list_filter(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+'),
                     x -> x IN ('el','la','los','las','es','un','una','que','de','por'))) AS hits_es,
                 len(regexp_extract_all(text, '[一-鿿]')) AS hits_zh
               FROM documents)
@@ -1317,7 +1329,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS dup_groups,
                    coalesce(sum(n), 0)::BIGINT AS dup_rows
             FROM (SELECT count(*) AS n FROM documents
-                  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                  GROUP BY regexp_replace(lower(trim(text)),
+                                          '[ \t\n\x0b\f\r]+', ' ', 'g')
                   HAVING count(*) > 1)
         """,
         "embedding_topk": """
@@ -1408,7 +1421,8 @@ def oracle_sql() -> dict[str, str]:
             FROM doubled d
             JOIN (SELECT min(doc_id) AS doc_id
                   FROM doubled
-                  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                  GROUP BY regexp_replace(lower(trim(text)),
+                                          '[ \t\n\x0b\f\r]+', ' ', 'g')
                  ) k ON d.doc_id = k.doc_id
         """,
         "pair_jaccard": """
@@ -1658,14 +1672,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 8)
                      AS bucket, COUNT(*) AS n_a
               FROM orders
-              WHERE ((((o_orderkey % 1000003) * 2654435761)
+              WHERE ((((((o_orderkey % 1000003) + 1000003) % 1000003) * 2654435761)
                       % 4294967296) * 100) >> 32 < 50
               GROUP BY 1
             ), b AS (
               SELECT least(CAST(floor(o_totalprice / 50000) AS BIGINT), 8)
                      AS bucket, COUNT(*) AS n_b
               FROM orders
-              WHERE ((((o_orderkey % 1000003) * 2654435761)
+              WHERE ((((((o_orderkey % 1000003) + 1000003) % 1000003) * 2654435761)
                       % 4294967296) * 100) >> 32 >= 50
               GROUP BY 1
             ), j AS (
@@ -1697,7 +1711,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": """
             WITH toks AS (
               SELECT unnest(regexp_split_to_array(trim(lower(text)),
-                                                  '\s+')) AS token
+                                                  '[ \t\n\x0b\f\r]+')) AS token
               FROM documents WHERE text IS NOT NULL
             )
             SELECT token, COUNT(*) AS freq
@@ -1736,7 +1750,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split,
                    COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM (SELECT doc_id,
-                         ((((doc_id % 1000003) * 2654435761)
+                         ((((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761)
                            % 4294967296) * 100) >> 32 AS b
                   FROM documents)
             GROUP BY 1

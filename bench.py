@@ -114,7 +114,10 @@ def ensure_scaled(spark, src: str, mult: int) -> str:
 
     if mult <= 1:
         return src
-    dst = os.path.join(_REPO, ".bench", f"scaled_{os.path.basename(src.rstrip('/'))}_x{mult}")
+    # _v2: embeddings gained the per-copy sign-flip below; the old cache
+    # held byte-identical vector copies and must not be silently reused
+    dst = os.path.join(_REPO, ".bench",
+                       f"scaled_{os.path.basename(src.rstrip('/'))}_x{mult}_v2")
     marker = os.path.join(dst, "_BENCH_READY")
     if os.path.exists(marker):
         return dst
@@ -130,6 +133,18 @@ def ensure_scaled(spark, src: str, mult: int) -> str:
                 # per-copy suffix: copies are near-dups (realistic crawl
                 # shape), not byte-dups that would only stress exact dedup
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" c{i}")))
+            if t == "embeddings" and i:
+                # per-copy deterministic sign flip (diagonal orthogonal
+                # transform): WITHIN a copy every inner product — planted
+                # near-dup pairs, ANN neighborhoods — is preserved exactly,
+                # while cross-copy cosines drop to ~0.  Byte-identical
+                # vector copies would hand cosine_near_dups C(mult,2)
+                # cross-copy twins per base vector, scaling its pair work
+                # ~mult^2 instead of ~mult (r5 review finding).
+                flip = lambda x, j: x * (F.lit(1) - F.lit(2) * F.pmod(
+                    F.xxhash64(F.lit(i), j), F.lit(2))).cast("float")
+                c = c.withColumn("embedding",
+                                 F.transform(F.col("embedding"), flip))
             copies.append(c)
         out = reduce(lambda a, b: a.unionByName(b), copies)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
@@ -207,7 +222,8 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     wanted = os.environ.get("BENCH_QUERIES")
-    names = wanted.split(",") if wanted else HEADLINE
+    names = ([n.strip() for n in wanted.split(",") if n.strip()]
+             if wanted else HEADLINE)
 
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
@@ -215,6 +231,13 @@ def main() -> None:
     registry["validate_full"] = q_validate_full
     registry["minhash_dedup"] = q_minhash_dedup
     registry["curate_corpus"] = q_curate_corpus
+
+    # fail on a typo BEFORE the minutes-long scaled-table materialization
+    unknown = [n for n in names
+               if n != "image_validate" and n not in registry]
+    if unknown:
+        raise SystemExit(f"unknown BENCH_QUERIES {unknown}; "
+                         f"known: {sorted(registry)}")
 
     data_dir = ensure_scaled(spark, sf_dir, mult)
     img_path = ensure_images(spark, img_rows) if "image_validate" in names else None

@@ -145,7 +145,8 @@ def make_row(i: int, seed: int = SEED, plant: bool = True,
 
     image_id = canonical_id(i, seed)
     k = i % 100 if plant else -1
-    if k == 8 and i > 0:
+    if k == 8:
+        # k == 8 implies i >= 8, so i - 1 is always a valid prior row
         image_id = canonical_id(i - 1, seed)  # duplicate key
     elif k == 1:
         # mutate the id BEFORE deriving content so this row violates only
@@ -268,6 +269,6 @@ def expected_violation_ids(n: int, seed: int = SEED) -> dict[str, list[int]]:
              6: "cap_pattern", 7: "cap_required", 8: "dup", 9: "pixel", 10: "cap_ref"}
     for i in range(n):
         k = i % 100
-        if k in names and not (k == 8 and i == 0):
+        if k in names:
             out[names[k]].append(i)
     return out

@@ -12,10 +12,11 @@ import pathlib
 import pytest
 
 import __spark_entry__ as entrymod
+# the CLI gate replica and this pytest gate share ONE set of helpers so
+# their verdicts cannot diverge on rendering rules (r5 review finding)
+from tools.oracle_replica import make_duck, normalize
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 pytestmark = pytest.mark.skipif(
     not pathlib.Path(SF_DIR).exists(), reason="testdata missing")
@@ -23,22 +24,7 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def duck():
-    import duckdb
-    con = duckdb.connect()
-    for t in TABLES:
-        p = pathlib.Path(SF_DIR) / f"{t}.parquet"
-        if p.exists():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    return con
-
-
-def normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for r in rows:
-        vals = [r[i] for i in order]
-        out.append(tuple("NULL" if v is None else str(v) for v in vals))
-    return sorted(out)
+    return make_duck(SF_DIR)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

@@ -148,6 +148,31 @@ def test_unique_violations_explicit_threshold_probes_under_aqe(spark):
         release_probe_cache()
 
 
+def test_split_bucket_oracle_twin_pmod_parity_on_negative_keys(spark):
+    """The driver oracle's SQL twin of split_bucket must use the double-mod
+    pmod form the operator documents — DuckDB's bare % keeps the dividend
+    sign and buckets negative keys differently (r5 review finding; latent
+    on the non-negative TPC-H-ish fixtures, live for xxhash64-derived
+    keys which are ~50% negative)."""
+    import duckdb
+
+    from sdk_spark.operators.packing import split_bucket
+
+    ids = [i * 7 - 1000 for i in range(300)]          # mixed-sign keys
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    engine = {r["doc_id"]: r["b"] for r in
+              df.select("doc_id", split_bucket(F.col("doc_id")).alias("b"))
+                .collect()}
+    twin = duckdb.sql("""
+        SELECT doc_id,
+               ((((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761)
+                 % 4294967296) * 100) >> 32 AS b
+        FROM (SELECT unnest($ids) AS doc_id)
+    """.replace("$ids", str(ids))).df()
+    oracle = dict(zip(twin["doc_id"], twin["b"]))
+    assert engine == oracle
+
+
 def test_duplicate_keys_hash_prefilter_exact_parity(spark):
     """The 8-byte-hash discovery shuffle must return EXACTLY the same
     duplicate set as the full-key shuffle — planted dups, NULL keys, and

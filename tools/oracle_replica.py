@@ -5,6 +5,11 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, name-sorted schema, and a hash of sorted stringified tuples —
 the same comparison the round driver records in CORRECTNESS_r{N}.json.
 
+``normalize``/``make_duck``/``TABLES`` are THE shared replica helpers:
+tests/test_entry_oracle.py imports them, so the pytest gate and this CLI
+gate cannot silently diverge on rendering rules (an earlier version used
+``%.6g`` floats here vs ``str()`` there — same query, different verdicts).
+
 Usage:  python tools/oracle_replica.py [sf_dir] [query ...]
 """
 from __future__ import annotations
@@ -29,6 +34,15 @@ def make_duck(sf_dir: str):
     return con
 
 
+def _canon(v):
+    """Engine-neutral cell canonicalization: Spark collects BINARY as
+    bytearray while DuckDB returns bytes — identical payloads must render
+    identically (repr differs: ``bytearray(b'..')`` vs ``b'..'``)."""
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
 def pandas_type_kinds(sdf, con, sql):
     """STRICT twin of the driver's likely hash path: both result sets
     fetched through pandas (Spark ``toPandas`` / DuckDB ``fetchdf``) and
@@ -40,17 +54,27 @@ def pandas_type_kinds(sdf, con, sql):
     DataFrame so the query is not executed a second time."""
     sdf = sdf.toPandas()
     odf = con.execute(sql).fetchdf()
+    # duplicate output names break positional pandas indexing silently
+    # (fetchdf renames the second 'a' to 'a_1' while cur.description keeps
+    # both as 'a'); fail loudly instead of crashing mid-compare
+    for side, cols in (("spark", list(sdf.columns)),
+                       ("oracle", list(odf.columns))):
+        if len(set(cols)) != len(cols):
+            return [f"duplicate {side} output column names: {cols}"]
     sdf = sdf[sorted(sdf.columns)]
     odf = odf[sorted(odf.columns)]
     msgs = []
     for c in sdf.columns:
-        sk = sdf[c].dtype.kind
-        ok = odf[c].dtype.kind if c in odf.columns else "?"
-        if sk != ok:
+        if c not in odf.columns:
+            msgs.append(f"dtype[{c}]: spark={sdf[c].dtype} oracle=MISSING")
+            continue
+        if sdf[c].dtype.kind != odf[c].dtype.kind:
             msgs.append(f"dtype[{c}]: spark={sdf[c].dtype} "
                         f"oracle={odf[c].dtype}")
-    svals = sorted(map(repr, sdf.itertuples(index=False, name=None)))
-    ovals = sorted(map(repr, odf.itertuples(index=False, name=None)))
+    svals = sorted(repr(tuple(_canon(v) for v in t))
+                   for t in sdf.itertuples(index=False, name=None))
+    ovals = sorted(repr(tuple(_canon(v) for v in t))
+                   for t in odf.itertuples(index=False, name=None))
     if svals != ovals:
         d = next((i for i, (a, b) in enumerate(zip(svals, ovals))
                   if a != b), -1)
@@ -60,15 +84,18 @@ def pandas_type_kinds(sdf, con, sql):
 
 
 def normalize(rows, colnames):
+    """Order-insensitive stringified rows, name-sorted columns — the same
+    rendering for BOTH engines (and both gate replicas: the pytest gate
+    imports this).  ``str()`` everywhere: the strict pandas pass already
+    proves exact ``repr`` equality for every green query, so a lossier
+    float format here would only mask diffs, not absorb real ones."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def render(v):
         if v is None:
             return "NULL"
-        if isinstance(v, bool):
-            return str(v).lower()
-        if isinstance(v, float):
-            return f"{v:.6g}"
+        if isinstance(v, (bytes, bytearray)):
+            return bytes(v).hex()
         return str(v)
 
     return sorted(tuple(render(r[i]) for i in order) for r in rows)
@@ -87,6 +114,13 @@ def main() -> int:
     import __spark_entry__ as m
     con = make_duck(sf)
     qs, oras = m.queries(), m.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd filter must not "pass" by validating nothing
+        print(f"unknown query name(s): {sorted(unknown)}; "
+              f"known: {sorted(qs)}")
+        spark.stop()
+        return 2
     fails, no_oracle, ran = [], [], 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -128,7 +162,10 @@ def main() -> int:
             fails.append((name, f"hash: first diff at sorted row {diff}: "
                                 f"spark={srows[diff]} oracle={orows[diff]}"))
         else:
-            strict = pandas_type_kinds(sdf, con, oras[name])
+            try:
+                strict = pandas_type_kinds(sdf, con, oras[name])
+            except Exception as e:  # noqa: BLE001 — a strict-pass crash is
+                strict = [f"strict pass raised: {e}"]   # a FAIL, not an abort
             if strict:
                 fails.append((name, f"STRICT: {'; '.join(strict)[:500]}"))
             else:
