@@ -24,9 +24,10 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 ROWS = int(os.environ.get("SCALING_ROWS", "4000000"))
 PARTITIONS = int(os.environ.get("SCALING_PARTITIONS", "64"))
-# row count in the cache key: a stale 4M file must not silently serve an
-# 8M campaign (the early-return made SCALING_ROWS a no-op once cached)
-DATA = REPO / ".bench" / f"images_{ROWS}.parquet"
+# row count AND partition count in the cache key: a stale file must not
+# silently serve a campaign with different SCALING_ROWS/SCALING_PARTITIONS
+# (the early-return made either env var a no-op once cached)
+DATA = REPO / ".bench" / f"images_{ROWS}_{PARTITIONS}p.parquet"
 CPU_LEVELS = (8, 32)
 
 
@@ -81,7 +82,9 @@ def hardware_ceiling(seconds: float = 3.0) -> dict[int, float]:
 
 
 def ensure_data() -> None:
-    if DATA.exists():
+    # _SUCCESS gate: a directory left by a killed mid-generation run must
+    # not be benchmarked (and durably recorded) as if it were the full input
+    if (DATA / "_SUCCESS").exists():
         return
     sys.path.insert(0, str(REPO))
     from sdk_spark.sources.images import generate_images
@@ -179,7 +182,13 @@ def main() -> None:
         "value": round(efficiency, 3),
         "unit": "ratio",
         "target": 0.8,
+        # all three verdict framings recorded so this jsonl row can never
+        # disagree with BASELINE.md's prose verdict (which is the
+        # ceiling-normalized pair): `passed` stays the conservative
+        # raw-vs-ideal-4x e2e figure for continuity with earlier rows
         "passed": efficiency >= 0.8,
+        "passed_e2e_vs_ceiling": speedup / ceiling_speedup >= 0.8,
+        "passed_kernel_vs_ceiling": kspeedup / ceiling_speedup >= 0.8,
         "speedup": round(speedup, 2),
         "kernel_scaling_efficiency": round(kefficiency, 3),
         "kernel_speedup": round(kspeedup, 2),
