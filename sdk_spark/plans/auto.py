@@ -32,15 +32,36 @@ def validate_auto(df: DataFrame, schema_doc: dict, key_cols: list[str],
         return violation_rows(validated, key_cols), "catalyst"
     except SchemaCompileError:
         pass
-    # render only schema-DECLARED columns into the row JSON: key columns and
-    # undeclared metadata columns are not part of the document, and feeding
-    # them to the kernel fabricates INSTANCE_ADDITIONAL_PROPERTY violations
-    # under additionalProperties:false (root scoping parity: the catalyst
-    # path's object checks also see declared properties only)
+    # render only schema-REFERENCED columns into the row JSON: key columns
+    # and undeclared metadata columns are not part of the document, and
+    # feeding them to the kernel fabricates INSTANCE_ADDITIONAL_PROPERTY
+    # violations under additionalProperties:false (root scoping parity: the
+    # catalyst path's object checks also see declared properties only).
+    # "Referenced" is wider than `properties`: names listed in required /
+    # dependentRequired must render too, or the kernel reports them missing
+    # while the catalyst path binds the real column (r5 review finding).
+    # Schemas whose conditionals/patternProperties can reach arbitrary
+    # names keep every column — the same every-column fallback the
+    # compiler's root scoping uses (compiler/core.py::_cond_prop_names).
+    declared: set = set()
     try:
         root = effective(schema_doc, schema_doc)
-        declared = set(root.get("properties", {})) if isinstance(root, dict) \
-            else set()
+        if isinstance(root, dict):
+            if any(k in root for k in
+                   ("allOf", "anyOf", "oneOf", "not", "if",
+                    "patternProperties")):
+                declared = set()  # unbounded reach: render all columns
+            else:
+                declared |= set(root.get("properties", {}))
+                req = root.get("required")
+                if isinstance(req, list):
+                    declared |= {x for x in req if isinstance(x, str)}
+                dep = root.get("dependentRequired")
+                if isinstance(dep, dict):
+                    declared |= set(dep)
+                    for v in dep.values():
+                        if isinstance(v, list):
+                            declared |= {x for x in v if isinstance(x, str)}
     except Exception:
         declared = set()
     doc_cols = [c for c in df.columns if c in declared] if declared \
@@ -71,27 +92,41 @@ _STRING_TOKEN_TYPES = frozenset(
 
 
 def _field_type_info(plan: CompiledSchema, name: str):
-    """(simple declared type or None, null-token-is-valid, is-union) for a
-    top-level property — drives the two mismatch probes in
-    ``validate_json_auto``.  ``is-union`` picks the finding code: a token
-    that fits no branch of a type union is INSTANCE_UNION_NO_MATCH (kernel:
-    rowcheck.py:239-246), not a plain TYPE_MISMATCH."""
+    """(simple declared type or None, null-token-is-valid) for a top-level
+    property — drives the mismatch probes in ``validate_json_auto``.
+    Finding codes for mismatched rows come from the kernel reroute, not
+    from here."""
+    def _branch_type(x):
+        # a union branch may be a {"$ref": ...} dict — resolve it the way
+        # the branch compiler does, so a $ref'd string-family type still
+        # joins the non-string-token probe (r5 review finding)
+        if isinstance(x, str):
+            return x
+        if isinstance(x, dict):
+            try:
+                rx = effective(plan.doc, x, max_depth=plan.max_depth)
+                t = rx.get("type") if isinstance(rx, dict) else None
+                return t if isinstance(t, str) else None
+            except Exception:
+                return None
+        return None
+
     sub = plan.root.get("properties", {}).get(name)
     if not isinstance(sub, dict):
-        return None, True, False
+        return None, True
     node = effective(plan.doc, sub, max_depth=plan.max_depth)
     t = node.get("type")
     if isinstance(t, list):
         allow_null = "null" in [x for x in t if isinstance(x, str)]
-        non_null = [x for x in t if x != "null"]
-        if len(non_null) == 1 and isinstance(non_null[0], str):
-            return non_null[0], allow_null, True
-        return None, allow_null, True  # heterogeneous union: raw text
+        non_null = [_branch_type(x) for x in t if x != "null"]
+        if len(non_null) == 1:
+            return non_null[0], allow_null
+        return None, allow_null  # heterogeneous union: raw text
     if not isinstance(t, str):
-        return None, True, False  # untyped node: kernel accepts any value
+        return None, True  # untyped node: kernel accepts any value
     if t in ("null", "any"):
-        return t, True, False
-    return t, False, False
+        return t, True
+    return t, False
 
 
 def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
@@ -122,6 +157,12 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
         clash = [k for k in list(key_cols) + [f.name for f in st.fields]
                  if k in _CARRIERS]
         clash += [k for k in key_cols if k in {f.name for f in st.fields}]
+        # the compiler refuses (ValueError, not SchemaCompileError) inputs
+        # that already carry its OUTPUT columns — a schema property named
+        # 'valid'/'violations'/'violation_count' must route to the row
+        # kernel instead of crashing the whole validate (r5 review finding)
+        clash += [f.name for f in st.fields
+                  if f.name in ("valid", "violations", "violation_count")]
         if clash:
             # selecting key cols next to same-named doc fields (or either
             # next to a carrier column) would produce ambiguous duplicate
@@ -143,13 +184,15 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
         info = {f.name: _field_type_info(plan, f.name) for f in st.fields}
         probe = {f.name for f in st.fields
                  if info[f.name][0] in _STRING_TOKEN_TYPES}
-        sel = [*key_cols,
-               F.from_json(F.col(json_col), st).alias("__doc"),
-               F.col(json_col).alias("__raw"),
-               F.json_object_keys(F.col(json_col)).alias("__keys")]
-        if probe:
-            sel.append(F.try_parse_json(F.col(json_col)).alias("__var"))
-        typed = df.select(*sel)
+        # __var is parsed ONCE per row; all per-field token probes are
+        # variant gets on the parsed binary (no re-parse per field, unlike
+        # a get_json_object per nullable property — r5 review finding)
+        typed = df.select(
+            *key_cols,
+            F.from_json(F.col(json_col), st).alias("__doc"),
+            F.col(json_col).alias("__raw"),
+            F.json_object_keys(F.col(json_col)).alias("__keys"),
+            F.try_parse_json(F.col(json_col)).alias("__var"))
         # NULL / malformed / non-object documents must NOT be silently
         # valid (kernel parity: jsonbatch.validate_json_column emits
         # INSTANCE_TYPE_MISMATCH at '#').  ``from_json`` returns an
@@ -198,46 +241,53 @@ def validate_json_auto(df: DataFrame, json_col: str, schema_doc: dict,
         # (``_bad_token`` — text coercion blinds probe (a)).  Mismatches
         # nested inside a well-formed sub-struct still coerce to null
         # silently — use the kernel when that matters below the root.
+        required = {x for x in (plan.root.get("required") or [])
+                    if isinstance(x, str)}
+
         def _mism_cond(f):
-            raw_f = F.get_json_object(F.col("__raw"), f"$['{f.name}']")
             present = F.array_contains(F.col("__keys"), f.name)
-            _t, allow_null, _is_union = info[f.name]
+            _t, allow_null = info[f.name]
             cond = present & F.col(f"__doc.{f.name}").isNull()
+            vt = _vtype(f.name)
             if allow_null:
-                # get_json_object returns NULL for an explicit JSON null
-                # (presence is established separately), which this field's
-                # type admits — only a non-null uncoercible token mismatches
-                cond = cond & raw_f.isNotNull()
+                # an explicit JSON null (variant type VOID; presence is
+                # established separately) is admitted by this field's type
+                # — only a non-null uncoercible token mismatches
+                cond = cond & vt.isNotNull() & (vt != "VOID")
+                if f.name in required:
+                    # kernel required sees `"k" in value`: an explicitly-
+                    # null REQUIRED field is present there but NULL to the
+                    # compiled plan (which would report it missing) — the
+                    # kernel computes the exact findings.  eqNullSafe: vt
+                    # is NULL for an ABSENT field, and a bare == would
+                    # poison the whole reroute OR-chain with SQL NULL,
+                    # dropping the row from BOTH branches
+                    cond = cond | vt.eqNullSafe(F.lit("VOID"))
             if f.name in probe:
                 cond = cond | _bad_token(f.name)
             return cond
         reroute = F.lit(False)
         for f in st.fields:
             reroute = reroute | _mism_cond(f)
-        reroute = ~parse_fail & reroute
+        # a doc whose object keys parse but whose VARIANT parse fails
+        # (duplicate JSON keys — try_parse_json is stricter than
+        # json_object_keys/from_json) blinds every token probe above; the
+        # kernel's json.loads applies last-wins exactly like from_json
+        # cannot be assumed to, so those rows go to the kernel wholesale
+        reroute = ~parse_fail & (reroute | F.col("__var").isNull())
         clean = typed.where(~parse_fail & ~reroute)
 
-        # keys/raw kept out of the validated projection: root-level checks
-        # like has/patternProperties iterate DataFrame columns and must not
-        # see the carrier columns.  Parse failures are excluded — the
-        # kernel stops at the root mismatch and never reports the
+        # keys/raw/var kept out of the validated projection: root-level
+        # checks like has/patternProperties/conditionals may iterate ALL
+        # DataFrame columns (the compiler's every-column fallback) and
+        # must not see the carrier columns.  Parse failures are excluded —
+        # the kernel stops at the root mismatch and never reports the
         # would-be-missing required properties of an unparsed doc.
-        flat = clean.select(*key_cols, F.col("__keys"),
+        flat = clean.select(*key_cols,
                             *[F.col(f"__doc.{f.name}").alias(f.name)
                               for f in st.fields])
         validated = plan.validate(flat)
-        viol = violation_rows(validated, key_cols + ["__keys"])
-        # kernel parity: an explicitly-null top-level property whose type
-        # admits null is PRESENT, never REQUIRED_PROPERTY_MISSING — the
-        # kernel's required check sees `"k" in value`, not the null the
-        # compiled plan reads as absence
-        req_overcount = (
-            (F.col("constraint_id") == E.INSTANCE_REQUIRED_PROPERTY_MISSING)
-            & F.col("path").rlike("^#/[^/]+$")
-            & F.array_contains(
-                F.col("__keys"),
-                F.regexp_extract(F.col("path"), "^#/(.+)$", 1)))
-        viol = viol.where(~req_overcount).drop("__keys").unionByName(bad)
+        viol = violation_rows(validated, key_cols).unionByName(bad)
 
         # the rerouted tail: kernel findings are complete for these rows
         # (type mismatch, add-in cannot-evaluate, required, root open-object
@@ -334,6 +384,7 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
     import json as _json
 
     from ..rowcheck import BUILTIN_ADDINS as builtins
+    from ..rowcheck import META_CORE
 
     meta = schema_doc.get("$schema", "")
     offers = schema_doc.get("$offers", {})
@@ -345,14 +396,26 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
 
     branches = []
     for u, vt in distinct:
+        cond = uses_expr.eqNullSafe(F.lit(u)) & vt_expr.eqNullSafe(F.lit(vt))
+        subset = df.where(cond)
+        if u is not None and vt is None:
+            # the $uses text extracted but the VARIANT parse failed
+            # (duplicate JSON keys — try_parse_json is stricter): the
+            # wrapper cannot classify these docs batch-side; the kernel
+            # re-derives $uses per row from its own json.loads
+            branches.append((validate_json_column(
+                subset, json_col, schema_doc,
+                key_cols=key_cols, extended=extended), "arrow"))
+            continue
         uses_list = _parse_uses(u, vt)
         branch_schema = dict(schema_doc)
         extra: list[tuple[str, str | None]] = []  # (constraint_id, value)
         if uses_list:
             # built-in keyword families cannot be instance-enabled on a core
-            # schema (kernel parity: rowcheck.py:170-180; reference:
+            # schema (kernel parity: rowcheck.py:176 tests EXACT equality
+            # with META_CORE, not a suffix; reference:
             # instance_validator.py:146-160)
-            if meta.endswith("/core/v0/#") and any(
+            if meta == META_CORE and any(
                     x in ("JSONStructureValidation",
                           "JSONStructureConditionalComposition")
                     for x in uses_list):
@@ -360,6 +423,13 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
                               _json.dumps(uses_list)))
             props = dict(branch_schema.get("properties", {}))
             for x in uses_list:
+                if not isinstance(x, str):
+                    # unhashable members ({"a": 1}) crash the set/dict
+                    # membership tests below; kernel parity (rowcheck.
+                    # _apply_uses): report not-offered and continue
+                    extra.append((E.INSTANCE_USES_NOT_OFFERED,
+                                  _json.dumps(x, default=str)))
+                    continue
                 if x in builtins:
                     continue
                 if x not in offers:
@@ -390,8 +460,6 @@ def validate_json_with_instance_uses(df: DataFrame, json_col: str,
                                         f"add-in property '{k}' conflicts")))
                             props[k] = v
             branch_schema["properties"] = props
-        cond = uses_expr.eqNullSafe(F.lit(u)) & vt_expr.eqNullSafe(F.lit(vt))
-        subset = df.where(cond)
         try:
             # rerouted mismatch rows inside the branch get the ORIGINAL
             # schema (kernel_schema) and the kernel's own $uses findings;

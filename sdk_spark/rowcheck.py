@@ -588,6 +588,15 @@ class RowChecker:
         merged = dict(schema)
         merged["properties"] = dict(merged.get("properties", {}))
         for u in uses:
+            if not isinstance(u, str):
+                # unhashable member ({"a": 1}) would raise TypeError inside
+                # the set/dict membership tests below — the reference
+                # crashes here (instance_validator.py:1211 `u in offers`);
+                # one poison row must not kill a distributed task, so the
+                # engine reports it as not-offered instead (same policy as
+                # the r4 NaN-decimal fix)
+                out.append(Finding(E.INSTANCE_USES_NOT_OFFERED, "#", u))
+                continue
             if u in BUILTIN_ADDINS:
                 continue
             if u not in offers:
