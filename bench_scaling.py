@@ -140,6 +140,12 @@ def main() -> None:
     ensure_data()
     reps = int(os.environ.get("SCALING_REPS", "3"))
     samples: dict[int, list[dict]] = {c: [] for c in CPU_LEVELS}
+    # Ceiling probes bracket every rep (before the first, after each): the
+    # r5e campaign showed a single end-of-campaign probe can land in a
+    # different contention regime than the job legs it normalizes (probe
+    # measured 3.31x in a quiet tail; the legs ran against ~8 external
+    # cores), so the denominator is the MEAN speedup across all probes.
+    ceilings: list[dict[int, float]] = [hardware_ceiling()]
     # INTERLEAVE the two levels (A/B/A/B): this sandbox host is multi-tenant
     # with ±30% CPU-throughput noise over minutes, so alternating runs expose
     # both levels to the same environment; median across reps.
@@ -155,6 +161,7 @@ def main() -> None:
                 raise RuntimeError(f"worker local[{cpus}] failed")
             samples[cpus].append(
                 json.loads(line[-1].removeprefix("WORKER_RESULT ")))
+        ceilings.append(hardware_ceiling())
 
     results = {}
     for cpus, runs in samples.items():
@@ -171,8 +178,8 @@ def main() -> None:
                          "images_per_sec": round(runs[0]["rows"] / best)}
 
     lo, hi = CPU_LEVELS
-    ceiling = hardware_ceiling()
-    ceiling_speedup = ceiling[hi] / ceiling[lo]
+    probe_speedups = [c[hi] / c[lo] for c in ceilings]
+    ceiling_speedup = sum(probe_speedups) / len(probe_speedups)
     speedup = results[lo]["wall_sec"] / results[hi]["wall_sec"]
     efficiency = speedup / (hi / lo)
     kspeedup = results[lo]["kernel_wall_sec"] / results[hi]["kernel_wall_sec"]
@@ -193,6 +200,7 @@ def main() -> None:
         "kernel_scaling_efficiency": round(kefficiency, 3),
         "kernel_speedup": round(kspeedup, 2),
         "hardware_ceiling_speedup": round(ceiling_speedup, 2),
+        "ceiling_probe_speedups": [round(s, 2) for s in probe_speedups],
         "kernel_efficiency_vs_ceiling": round(kspeedup / ceiling_speedup, 3),
         "e2e_efficiency_vs_ceiling": round(speedup / ceiling_speedup, 3),
         "runs": results,
@@ -226,6 +234,9 @@ interleaved samples (least-biased estimate of uncontended capability).
 **Hardware ceiling:** a pure-userspace spin test (no IO, no JVM) reaches
 only {ceiling_speedup:.2f}x between {lo} and {hi} processes on this
 multi-tenant host — that, not 4.0x, is the achievable denominator here.
+The figure is the mean of {len(probe_speedups)} probes bracketing every
+rep ({', '.join(f'{s:.2f}x' for s in probe_speedups)}), so the denominator
+reflects the same contention regime the job legs ran in.
 
 | figure | speedup {lo}→{hi} | efficiency vs ideal 4x | efficiency vs hardware ceiling |
 |---|---|---|---|
