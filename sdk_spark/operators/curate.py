@@ -106,6 +106,17 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
 
     exact = note("after_exact_dedup",
                  distinct_by_content(df, id_col=id_col, text_col=text_col))
+    if not report:
+        # ``report=True`` persists each stage, so downstream consumers hit
+        # the cache; with ``report=False`` nothing is cached and ``exact``
+        # (a full aggregation + semi-join) would be re-evaluated THREE
+        # times — under the minhash candidate pipeline, under the packing
+        # pass, and under the final join probe.  A lazy localCheckpoint
+        # materializes it once on first use (spillable executor blocks,
+        # reclaimed by the ContextCleaner — the same lineage-truncation
+        # mechanism the CC fixpoint already uses) without changing any
+        # value.
+        exact = exact.localCheckpoint(eager=False)
 
     # num_hashes/bands pass through to the LSH stage: the default 64x16
     # (4 rows/band) is recall-safe down to low thresholds; at production
@@ -129,6 +140,10 @@ def curate_corpus(df: DataFrame, id_col: str = "doc_id",
         F.col("pred_lang").isin(*languages)
         & (F.col("quality_score") >= F.lit(min_quality)))
         .select(*base_cols, "pred_lang", "quality_score", "n_tokens"))
+    if not report:
+        # same reasoning as ``exact``: the gate subtree otherwise runs
+        # twice (slim pack pass + join probe)
+        kept = kept.localCheckpoint(eager=False)
 
     toks = hash_split(kept, id_col, weights)
     # ONE slim packing pass for all splits: pack_rows' split-boundary

@@ -406,6 +406,77 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_LEN_SALT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized, uint64 wraparound): scrambles
+    the linear structure of the rolling polynomial hash so only true
+    ~2^-64 birthday collisions can merge two distinct shingles."""
+    z = z ^ (z >> np.uint64(30))
+    z = z * _SM_C1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _SM_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def _window_hash_rows(texts: list, k: int) -> list:
+    """Per row: sorted unique uint64 hashes of the row's distinct char
+    k-gram shingles (whole-text shingle for sub-k rows, length-salted so
+    different-width shingles never compare equal); None for NULL rows.
+
+    One rolling-polynomial pass per ~200k-codepoint chunk of the
+    concatenated rows (cache-resident under the 32-way local worker
+    parallelism), then a cheap per-row uint64 ``np.unique``.
+    """
+    olderr = np.seterr(over="ignore")
+    try:
+        RPOW = np.empty(k, dtype=np.uint64)
+        RPOW[-1] = np.uint64(1)
+        for j in range(k - 2, -1, -1):
+            RPOW[j] = RPOW[j + 1] * _FNV_PRIME
+        out: list = [None] * len(texts)
+        longs: list = []
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if len(cp) >= k:
+                longs.append((i, cp))
+            else:
+                m = len(cp)
+                h = (cp.astype(np.uint64) * RPOW[k - m:]) \
+                    .sum(dtype=np.uint64) if m else np.uint64(0)
+                h = h + np.uint64(m) * _LEN_SALT
+                out[i] = _mix64(np.array([h], dtype=np.uint64))
+        pos = 0
+        while pos < len(longs):
+            end, tot = pos, 0
+            while end < len(longs) and (tot == 0 or
+                                        tot + len(longs[end][1]) <= 200_000):
+                tot += len(longs[end][1])
+                end += 1
+            grp = longs[pos:end]
+            cat = np.concatenate([c for _, c in grp]).astype(np.uint64)
+            L = len(cat)
+            h = np.zeros(L - k + 1, dtype=np.uint64)
+            for j in range(k):
+                h += cat[j:L - k + 1 + j] * RPOW[j]
+            h += np.uint64(k) * _LEN_SALT
+            h = _mix64(h)
+            start = 0
+            for i, c in grp:
+                nw = len(c) - k + 1
+                out[i] = np.unique(h[start:start + nw])
+                start += len(c)
+            pos = end
+        return out
+    finally:
+        np.seterr(**olderr)
+
+
 def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
                   pairs: DataFrame, shingle_k: int = 5,
                   engine: str = "arrow") -> DataFrame:
@@ -438,15 +509,36 @@ def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
 
     @pandas_udf("double")
     def _jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        def sh(t):
-            if t is None:
-                return set()
-            return {t[i:i + k] for i in range(max(len(t) - k + 1, 1))}
-        out = []
-        for x, y in zip(ta, tb):
-            sa, sb = sh(x), sh(y)
-            u = len(sa | sb)
-            out.append(len(sa & sb) / u if u else 0.0)
+        # Distinct-shingle Jaccard with each side's shingle set
+        # represented as a SORTED UNIQUE uint64 window-hash array:
+        # hashing is one vectorized rolling-polynomial pass per row
+        # chunk (splitmix64-finalized, length-salted so sub-k shingles
+        # occupy their own domain), uniqueness is a uint64 sort, and the
+        # intersection is a searchsorted merge of the smaller array into
+        # the larger.  |A∩B| and |A∪B| equal the Python-set counts
+        # unless two distinct shingles of one pair collide in 64 bits
+        # (probability ~|sh|²/2⁶⁴ ≈ 1e-14 per pair; asserted collision-
+        # free on the oracled corpora by tests/test_opt_r06.py).  The
+        # prior form — per-pair Python sets / void-dtype unique — spent
+        # ~275 µs/pair in the worker (generic-object compares, no
+        # cross-pair vectorization) and dominated the whole pipeline.
+        out = np.empty(len(ta), dtype=np.float64)
+        sa_list = _window_hash_rows(list(ta), k)
+        sb_list = _window_hash_rows(list(tb), k)
+        for i in range(len(ta)):
+            sa, sb = sa_list[i], sb_list[i]
+            if sa is None or sb is None:
+                # NULL shingles to set(): intersection 0 → ratio 0.0
+                # whether or not the union is empty
+                out[i] = 0.0
+                continue
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            pos = np.searchsorted(sb, sa)
+            pos[pos == len(sb)] = 0     # out-of-range probes can't match
+            inter = int((sb[pos] == sa).sum())
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 0.0
         return pd.Series(out)
 
     txt = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
@@ -473,34 +565,108 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
 
 # -- SimHash ----------------------------------------------------------------------
 
-def simhash(text_col: str, bits: int = 64) -> Column:
+def simhash(text_col: str, bits: int = 64, engine: str = "arrow") -> Column:
     """Charikar sign-sketch over whitespace tokens, packed into a long.
 
-    ONE ``aggregate`` traversal of the token array: the accumulator is an
-    ``array<int>`` of per-bit vote counters merged with ``zip_with`` (the
-    64 bit-tests unroll inside the merge lambda, which Catalyst instantiates
-    once).  The earlier form — 64 independent ``aggregate`` passes, one per
-    bit — re-walked the token array 64× per row and produced an expression
-    tree large enough to threaten codegen fallback.
+    ``engine='arrow'`` (default) is a hybrid: tokenization and the
+    per-token ``xxhash64`` stay in the JVM (ONE interpreted expression
+    per token), and the per-bit vote accumulation + packing — previously
+    a ``zip_with`` merging a 64-element CASE array per token on Spark's
+    interpreted higher-order-function path, ~64 interpreted evals per
+    token and the whole cost of the simhash stage — runs as one
+    vectorized numpy pass per Arrow batch over the int64 hash arrays.
+    The sketch is BIT-IDENTICAL: votes are exact integer counts
+    (``2·popcount_b − n``) of the same JVM-produced hashes, and the
+    MSB-first packing reproduces the fold ordering (bit 0 of the hash →
+    bit 63 of the sketch) in wraparound uint64 arithmetic.
+
+    ``engine='sql'`` keeps the pure-Catalyst single-``aggregate`` form
+    (JVM-only; used by the differential tests and available where Python
+    workers are undesirable).
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    zero_votes = F.array_repeat(F.lit(0), bits)
-    votes = F.aggregate(
-        hashes, zero_votes,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                       F.lit(1)).otherwise(F.lit(-1))
-                for b in range(bits)]),
-            lambda a, v: a + v))
-    # pack MSB-first (bit 0 of the hash ends up most significant, matching
-    # the original unrolled shiftleft loop ordering)
-    return F.aggregate(
-        votes, F.lit(0).cast("long"),
-        lambda acc, v: F.shiftleft(acc, 1)
-        + F.when(v >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    if engine != "arrow":
+        zero_votes = F.array_repeat(F.lit(0), bits)
+        votes = F.aggregate(
+            hashes, zero_votes,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.array(*[
+                    F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                           F.lit(1)).otherwise(F.lit(-1))
+                    for b in range(bits)]),
+                lambda a, v: a + v))
+        # pack MSB-first (bit 0 of the hash ends up most significant,
+        # matching the original unrolled shiftleft loop ordering)
+        return F.aggregate(
+            votes, F.lit(0).cast("long"),
+            lambda acc, v: F.shiftleft(acc, 1)
+            + F.when(v >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+
+    if bits != 64:
+        raise ValueError("engine='arrow' supports bits=64 only "
+                         "(pass engine='sql' for other widths)")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _pack(hs: pd.Series) -> pd.Series:
+        vals = [None if h is None else np.asarray(h, dtype=np.int64)
+                for h in hs]
+        present = [i for i, v in enumerate(vals) if v is not None]
+        out = np.zeros(len(vals), dtype=object)
+        out[:] = None
+        if present:
+            all_lens = np.array([len(vals[i]) for i in present])
+            if (all_lens == 0).any():
+                # empty hash arrays cannot arise from split() (it yields
+                # [""] for empty text), but reduceat misreads zero-length
+                # segments — take the exact scalar path for such a batch
+                for i in present:
+                    v = vals[i]
+                    votes = 2 * ((v[:, None] >> np.arange(64)) & 1) \
+                        .sum(axis=0) - len(v)
+                    POW = (np.uint64(1)
+                           << (63 - np.arange(64)).astype(np.uint64))
+                    out[i] = int(((votes >= 0).astype(np.uint64) * POW)
+                                 .sum(dtype=np.uint64).view(np.int64))
+                return pd.Series(out)
+            POW = (np.uint64(1) << (63 - np.arange(64)).astype(np.uint64))
+            # sub-batch so the (tokens × 64) bit matrix stays ~2 MB: 32
+            # concurrent local workers share memory bandwidth, and a
+            # cache-resident working set is what keeps this kernel
+            # scaling across them (measured on the minhash kernel: large
+            # streamed temporaries collapse under 32-way parallelism)
+            SUB_TOKENS = 32_768
+            pos = 0
+            while pos < len(present):
+                end = pos
+                tot = 0
+                while end < len(present) and (tot == 0
+                                              or tot + all_lens[end]
+                                              <= SUB_TOKENS):
+                    tot += all_lens[end]
+                    end += 1
+                grp = present[pos:end]
+                lens = all_lens[pos:end]
+                cat = np.concatenate([vals[i] for i in grp])
+                # bit matrix: column b = bit b of each hash (little-
+                # endian unpack of the raw int64 bytes)
+                bits_m = np.unpackbits(
+                    cat.view(np.uint8).reshape(len(cat), 8),
+                    axis=1, bitorder="little")
+                offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+                counts = np.add.reduceat(bits_m, offs, axis=0,
+                                         dtype=np.int64)
+                votes = 2 * counts - lens[:, None]
+                sims = ((votes >= 0).astype(np.uint64) * POW) \
+                    .sum(axis=1, dtype=np.uint64).view(np.int64)
+                for d, i in enumerate(grp):
+                    out[i] = int(sims[d])
+                pos = end
+        return pd.Series(out)
+
+    return _pack(hashes)
 
 
 def simhash_chunks(sim: Column, chunks: int = 4, bits: int = 64) -> Column:

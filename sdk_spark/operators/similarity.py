@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -382,6 +383,57 @@ def ivf_topk_indexed(spark, path: str, query: list[float], k: int = 10,
     return cosine_topk(df, query, k, id_col, vec_col)
 
 
+def _cosine_pairs_arrow(va: Column, vb: Column) -> Column:
+    """Batched pairwise cosine: one (n×d · n×d) numpy pass per Arrow
+    chunk.  NULL vectors and ragged pairs yield NULL, NaN components
+    propagate NaN — the same rows the Catalyst HOF form nulled out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        n = len(a)
+        out = np.full(n, np.nan)
+        ok = np.zeros(n, dtype=bool)
+        null = np.zeros(n, dtype=bool)
+        va_l, vb_l = list(a), list(b)
+        dims = set()
+        for i in range(n):
+            x, y = va_l[i], vb_l[i]
+            if x is None or y is None or len(x) != len(y):
+                null[i] = True
+            else:
+                ok[i] = True
+                dims.add(len(x))
+        if ok.any():
+            idx = np.flatnonzero(ok)
+            if len(dims) == 1:
+                # chunked so the stacked pair matrices stay cache-sized
+                # under 32-way local worker parallelism
+                step = max(1, 131_072 // max(next(iter(dims)), 1))
+                for c0 in range(0, len(idx), step):
+                    ci = idx[c0:c0 + step]
+                    A = np.stack([np.asarray(va_l[i], dtype=np.float64)
+                                  for i in ci])
+                    B = np.stack([np.asarray(vb_l[i], dtype=np.float64)
+                                  for i in ci])
+                    dot = np.einsum("ij,ij->i", A, B)
+                    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+                    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+                    out[ci] = dot / np.maximum(na * nb, 1e-12)
+            else:
+                for i in idx:
+                    x = np.asarray(va_l[i], dtype=np.float64)
+                    y = np.asarray(vb_l[i], dtype=np.float64)
+                    denom = max(np.sqrt((x * x).sum())
+                                * np.sqrt((y * y).sum()), 1e-12)
+                    out[i] = float(x @ y) / denom
+        res = pd.Series(out)
+        res[null] = None
+        return res
+
+    return _cos(va, vb)
+
+
 def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
                            id_col: str = "vec_id", vec_col: str = "embedding",
                            n_planes: int = 12, seed: int = 42,
@@ -404,10 +456,18 @@ def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,
     b = with_lsh_bucket(df, vec_col, n_planes, seed, dim) \
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "lsh_bucket")
     raw = _bucket_pairs(b, ["lsh_bucket"], ["v"], max_bucket_size)
+    # Exact cosine rescore as ONE vectorized numpy batch per Arrow chunk:
+    # the Catalyst form (zip_with + aggregate per pair) runs on the
+    # interpreted HOF path — ~2·dim interpreted evals per candidate pair,
+    # which dominated the whole query at production candidate volumes.
+    # Keeps the same null/NaN semantics: a malformed pair (NULL vector,
+    # ragged lengths, NaN/NULL component) scores NaN/NULL and is dropped
+    # by the threshold filter exactly as before (r5 review finding).
     pairs = raw.select(
         F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-        cosine(F.col("a.v").cast("array<double>"),
-               F.col("b.v").cast("array<double>")).alias("score"))
+        _cosine_pairs_arrow(F.col("a.v").cast("array<double>"),
+                            F.col("b.v").cast("array<double>"))
+        .alias("score"))
     # Spark orders NaN above every double AND NaN >= threshold is TRUE
     # under its NaN-as-largest semantics — a corrupt embedding must not
     # manufacture near-dup pairs (r5 review finding)
@@ -669,11 +729,20 @@ def train_ivf_centroids(df: DataFrame, k: int = 16, iters: int = 10,
 
 
 def _unit(v: Column) -> Column:
-    """L2-normalize an array<double> column JVM-side."""
+    """L2-normalize an array<double> column JVM-side.
+
+    The norm is bound ONCE per row via a single-element ``transform``
+    (a let binding, same trick as ``dedup.minhash_bands``): referencing
+    the norm subexpression directly inside the per-element lambda
+    re-evaluates the whole aggregate per element on Spark's interpreted
+    HOF path — dim× the work, measured as the dominant cost of
+    spherical k-means training materialization.  Same IEEE operations in
+    the same order, so normalized values are bit-identical."""
     n = F.greatest(F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
                                       F.lit(0.0), lambda a, b: a + b)),
                    F.lit(1e-12))
-    return F.transform(v, lambda x: x / n)
+    return F.get(F.transform(F.array(n),
+                             lambda nn: F.transform(v, lambda x: x / nn)), 0)
 
 
 def ivf_cell_trained(vec_col: Column, centroids: "np.ndarray",

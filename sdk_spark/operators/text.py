@@ -49,10 +49,21 @@ def stopword_hits(col: Column, stopwords: list[str]) -> Column:
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document quality signals in one projection."""
+    """Per-document quality signals in one projection.
+
+    The whitespace token array is staged as its own projection so the
+    three consumers (token count, average-length divisor, stopword
+    filter) share ONE ``split(trim(text))`` evaluation instead of
+    re-tokenizing per expression (same sharing pattern as
+    ``lang_scores``; the multiply-referenced alias blocks
+    CollapseProject from inlining it back)."""
     c = F.col(text_col)
-    n_tok = token_count_ws(c)
-    return df.withColumns({
+    if "__toks" in df.columns:
+        raise ValueError("quality_features: '__toks' is reserved")
+    staged = df.withColumn("__toks", tokens(c))
+    t = F.col("__toks")
+    n_tok = F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(t))
+    return staged.withColumns({
         "n_chars_calc": F.length(c),
         "n_tokens": n_tok,
         "n_pieces": token_count_bpe(c),
@@ -62,8 +73,9 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
                         / F.greatest(F.length(c), F.lit(1))).cast("double"),
         "digit_ratio": (F.coalesce(F.regexp_count(c, F.lit(r"[0-9]")), F.lit(0))
                         / F.greatest(F.length(c), F.lit(1))).cast("double"),
-        "stop_hits": stopword_hits(c, LANG_PROFILES["en"]),
-    })
+        "stop_hits": F.size(F.filter(
+            t, lambda tok: tok.isin(*LANG_PROFILES["en"]))),
+    }).drop("__toks")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -82,13 +94,27 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap score per language + CJK character heuristic."""
+    """Stopword-overlap score per language + CJK character heuristic.
+
+    The token array is projected ONCE and the per-language filters read
+    that column: inlining ``stopword_hits(text)`` per language would
+    re-evaluate ``split(trim(text))`` once per profile (Catalyst's
+    CollapseProject declines to merge the staging projection because the
+    alias is referenced five times, which is exactly the sharing we
+    want).  Same counts per language, one tokenization instead of five.
+    """
     c = F.col(text_col)
-    out = df
+    if "__toks" in df.columns:
+        raise ValueError("lang_scores: '__toks' is reserved")
+    staged = df.withColumn("__toks", tokens(c))
+    t = F.col("__toks")
+    out = staged
     for lang, words in LANG_PROFILES.items():
-        out = out.withColumn(f"hits_{lang}", stopword_hits(c, words))
+        out = out.withColumn(
+            f"hits_{lang}",
+            F.size(F.filter(t, lambda tok: tok.isin(*words))))
     cjk = F.coalesce(F.regexp_count(c, F.lit(r"[一-鿿]")), F.lit(0))
-    return out.withColumn("hits_zh", cjk)
+    return out.withColumn("hits_zh", cjk).drop("__toks")
 
 
 def lang_id(df: DataFrame, text_col: str = "text",
