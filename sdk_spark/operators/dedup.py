@@ -229,7 +229,12 @@ def minhash_signature_arrow(text_col: str, num_hashes: int = 64,
         np.seterr(**old)
         return pd.Series(out)
 
-    return _sig(F.col(text_col))
+    # guide §4.4: downstream filters referencing the signature column get
+    # pushed below the parallelism repartition WITH A COPY of this kernel
+    # (two ArrowEvalPython nodes, the whole signature cost paid twice);
+    # the kernel is pure, but the non-deterministic mark forbids the
+    # duplicating push
+    return _sig.asNondeterministic()(F.col(text_col))
 
 
 _FNV_BASIS = np.uint64(1469598103934665603)
@@ -304,7 +309,9 @@ def minhash_band_buckets_arrow(text_col: str, num_hashes: int, bands: int,
         np.seterr(**old)
         return pd.Series(out)
 
-    return _bb(F.col(text_col))
+    # guide §4.4 (same as minhash_signature_arrow): block the optimizer
+    # from duplicating the kernel below the parallelism repartition
+    return _bb.asNondeterministic()(F.col(text_col))
 
 
 def minhash_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -545,8 +552,13 @@ def ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
     a = txt.select(F.col("__id").alias("id_a"), F.col("__t").alias("t_a"))
     b = txt.select(F.col("__id").alias("id_b"), F.col("__t").alias("t_b"))
     joined = pairs.join(a, "id_a").join(b, "id_b")
+    # guide §4.4: the caller's threshold filter references the jaccard
+    # column, and the optimizer pushes a COPY of the kernel below that
+    # filter — the whole rescore paid twice.  The kernel is pure; the
+    # non-deterministic mark forbids the duplicating push.
     return joined.select("id_a", "id_b",
-                         _jac(F.col("t_a"), F.col("t_b")).alias("jaccard"))
+                         _jac.asNondeterministic()(
+                             F.col("t_a"), F.col("t_b")).alias("jaccard"))
 
 
 def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",

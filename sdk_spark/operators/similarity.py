@@ -431,7 +431,13 @@ def _cosine_pairs_arrow(va: Column, vb: Column) -> Column:
         res[null] = None
         return res
 
-    return _cos(va, vb)
+    # guide §4.4: the threshold filter references this UDF's output, and
+    # the optimizer pushes a COPY of the evaluation below the filter —
+    # every candidate pair paid the kernel twice (two ArrowEvalPython
+    # nodes in the plan).  The kernel is pure, but marking it
+    # non-deterministic forbids the duplicating push and yields a single
+    # evaluation; the filter itself still applies unchanged.
+    return _cos.asNondeterministic()(va, vb)
 
 
 def cosine_near_duplicates(df: DataFrame, threshold: float = 0.95,

@@ -83,6 +83,32 @@ def test_arrow_jaccard_matches_python_sets(spark):
         assert j == expect, (ia, ib, j, expect)
 
 
+def test_minhash_engines_agree_on_driver_corpus(spark):
+    """Arrow (numpy FNV-affine kernel) and SQL (xxhash-affine Catalyst)
+    engines produce the SAME final near-dup pair set on a slice of the
+    driver's own corpus at the oracle operating point — the end-to-end
+    guarantee the signature engines rely on (candidates differ between
+    hash families; the rescored output must not)."""
+    import pathlib
+
+    from sdk_spark.operators.dedup import near_duplicates_minhash
+
+    path = pathlib.Path("/root/testdata/sf0.001/documents.parquet")
+    if not path.exists():
+        pytest.skip("sf0.001 testdata not available")
+    docs = spark.read.parquet(str(path))
+
+    def pairs(engine):
+        return {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in near_duplicates_minhash(
+                    docs, threshold=0.5, num_hashes=128, bands=64,
+                    engine=engine).collect()}
+
+    arrow = pairs("arrow")
+    assert arrow, "operating point must produce pairs for a non-vacuous test"
+    assert arrow == pairs("sql")
+
+
 def test_window_hash_collision_free_on_test_corpus():
     """The uint64 window-hash representation behind the Jaccard rescore
     is only value-identical to Python-set Jaccard while no two distinct
