@@ -103,6 +103,33 @@ def _phases():
         return e.q_embedding_ann_kmeans(spark, d)
 
     # --- phash decomposition
+    def ph_floor(spark, d):
+        # scan + trivial projection: the fixed-cost floor to subtract
+        # from ph_fp when judging the fingerprint expression's own cost
+        return (docs(spark, d)
+                .where(F.col("text").isNotNull())
+                .select("doc_id", F.length("text").alias("phash")))
+
+    def ph_fp(spark, d):
+        # the letter-count fingerprint projection alone (15 replace()
+        # scans per row in the Catalyst form)
+        import __spark_entry__ as e
+        return (docs(spark, d)
+                .where(F.col("text").isNotNull())
+                .select("doc_id",
+                        F.expr(e._FP_EXPR).cast("long").alias("phash")))
+
+    def ph_reps(spark, d):
+        # fingerprint + the collapse-identical-hashes aggregation
+        import __spark_entry__ as e
+        fp = (docs(spark, d)
+              .where(F.col("text").isNotNull())
+              .select("doc_id",
+                      F.expr(e._FP_EXPR).cast("long").alias("phash")))
+        return (fp.groupBy(F.col("phash").alias("id"))
+                .agg(F.min("doc_id").alias("rep_id"),
+                     F.count(F.lit(1)).alias("members")))
+
     def ph_full(spark, d):
         import __spark_entry__ as e
         return e.q_phash_near_dups(spark, d)
@@ -137,6 +164,9 @@ def _phases():
         "cos_full": cos_full,
         "km_train_only": km_train_only,
         "km_full": km_full,
+        "ph_floor": ph_floor,
+        "ph_fp": ph_fp,
+        "ph_reps": ph_reps,
         "ph_full": ph_full,
         "cc_full": cc_full,
         "cur_exact": cur_exact,

@@ -180,3 +180,29 @@ def test_unit_let_binding_identical(spark):
     got = df.select(_unit(F.col("v")).alias("u"), naive.alias("n")).collect()
     for r in got:
         assert r["u"] == r["n"]
+
+
+def test_fp_arrow_matches_sql_expr(spark):
+    """The Arrow letter-count fingerprint kernel == the 15-replace()
+    Catalyst expression, bit for bit, on unicode/empty/edge rows
+    (both phash_near_dups and dedup_clusters hash on this value)."""
+    import __spark_entry__ as e
+
+    texts = _random_texts(200, seed=23)
+    # adversarial rows: every letter 16+ times (the % 16 wrap), the
+    # codepoints around the 128 lut boundary, an all-letters run
+    texts += ["e" * 16, "e" * 17 + "t" * 33, "".join(e._FP_LETTERS) * 20,
+              chr(127) + chr(128) + chr(129) + "eta", "",
+              "eee中taoéin"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string")
+    rows = df.select(
+        "id",
+        e._fp_arrow("text").alias("a"),
+        F.expr(e._FP_EXPR).cast("long").alias("s")).collect()
+    assert rows
+    for r in rows:
+        if r["s"] is None:
+            assert r["a"] is None, r
+        else:
+            assert r["a"] == r["s"], (r["id"], texts[r["id"]])
